@@ -1,0 +1,57 @@
+"""End-to-end shape/jit smoke tests for the full meta-architecture on tiny
+static inputs (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uni_encoder_tpu.config import Config
+from uni_encoder_tpu.models.oneformer import UniEncoder
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = Config().model
+    model = UniEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    tasks = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(model.init)(rng, images, tasks)
+    return cfg, model, variables
+
+
+def test_segmentation_forward(tiny_model):
+    cfg, model, variables = tiny_model
+    images = jnp.asarray(np.random.RandomState(0).randn(1, 64, 128, 3), jnp.float32)
+    tasks = jnp.ones((1, 77), jnp.int32)
+    out = jax.jit(model.apply)(variables, images, tasks)
+    Q = cfg.one_former.num_object_queries
+    K = cfg.sem_seg_head.num_classes
+    assert out["pred_logits"].shape == (1, Q, K + 1)
+    assert out["pred_masks"].shape == (1, Q, 16, 32)  # stride 4
+    assert not np.isnan(np.asarray(out["pred_logits"])).any()
+    assert not np.isnan(np.asarray(out["pred_masks"])).any()
+
+
+def test_sequence_forward(tiny_model):
+    cfg, model, variables = tiny_model
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(1, 64, 128, 3), jnp.float32)
+    prev = jnp.asarray(rng.randn(1, 64, 128, 3), jnp.float32)
+    # sequence path has extra params (pose/motion/depth decoders): init on it
+    model2 = UniEncoder(cfg)
+    variables2 = jax.jit(
+        lambda r, a, b: model2.init(r, a, b, method=UniEncoder.forward_sequence)
+    )(jax.random.PRNGKey(0), img, prev)
+    out = jax.jit(
+        lambda v, a, b: model2.apply(v, a, b, method=UniEncoder.forward_sequence)
+    )(variables2, img, prev)
+    assert out["disp"].shape == (1, 64, 128, 1)
+    assert out["cam_T_cam"].shape == (1, 4, 4)
+    assert out["complete_flow"].shape == (1, 64, 128, 3)
+    assert out["motion_mask"].shape == (1, 64, 128, 1)
+    d = np.asarray(out["disp"])
+    assert (d >= 0).all() and (d <= 1).all()
+    assert not np.isnan(np.asarray(out["cam_T_cam"])).any()

@@ -1,0 +1,51 @@
+"""Golden parity of the TPU ms_deform_attn core against the reference's
+pure-PyTorch spec (`ms_deform_attn_core_pytorch`), imported directly from the
+read-only reference tree when present."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from uni_encoder_tpu.ops import ms_deform_attn
+
+REF = "/root/reference/model/modeling/pixel_decoder/ops/functions/ms_deform_attn_func.py"
+
+
+def _load_reference_core():
+    torch = pytest.importorskip("torch")
+    if not os.path.exists(REF):
+        pytest.skip("reference tree not available")
+    spec = importlib.util.spec_from_file_location("ref_msda", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.ms_deform_attn_core_pytorch, torch
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_reference_spec(seed):
+    core, torch = _load_reference_core()
+    rng = np.random.RandomState(seed)
+    B, M, D, Lq, P = 2, 8, 4, 10, 4
+    shapes = ((6, 8), (3, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    # include out-of-range sampling locations to exercise zero padding
+    loc = rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)).astype(np.float32)
+    attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    attn = attn / attn.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+
+    ref = core(
+        torch.from_numpy(value),
+        torch.as_tensor(shapes),
+        torch.from_numpy(loc),
+        torch.from_numpy(attn),
+    ).numpy()
+
+    ours = np.asarray(ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)

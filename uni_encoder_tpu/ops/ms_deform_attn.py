@@ -1,0 +1,99 @@
+"""Multi-scale deformable attention core op — TPU-native.
+
+Behavioral spec: the reference's pure-PyTorch debug implementation
+`ms_deform_attn_core_pytorch` (/root/reference/model/modeling/pixel_decoder/
+ops/functions/ms_deform_attn_func.py:55-75), which is the stated numerics
+contract of its CUDA kernel: per (query, head, level, point), bilinearly
+sample the level's value map at the normalized sampling location
+(grid_sample, zero padding, align_corners=False) and reduce with the softmax
+attention weights.
+
+TPU design
+----------
+The CUDA kernel is one-thread-per-(b,q,h,c) with scalar bilinear gathers. On
+TPU we instead express the op as four batched corner-gathers per level
+(`take_along_axis` over the flattened H*W axis) + a weighted reduction, all
+in fp32 (the reference wraps this op in `@autocast(enabled=False)`;
+msdeformattn.py:336). XLA lowers the gathers to native TPU gather ops; the
+weighted reduction fuses. A Pallas kernel with VMEM-resident level tiles is
+layered on top for the hot shapes (see ops/pallas/msda.py); this function is
+the correctness baseline and CPU/interpret fallback.
+
+Shapes
+------
+  value:              (B, S, M, D)     S = sum(H_l * W_l)
+  spatial_shapes:     static tuple ((H_0, W_0), ...)
+  sampling_locations: (B, Lq, M, L, P, 2)  normalized [0, 1], xy order
+  attention_weights:  (B, Lq, M, L, P)
+  returns:            (B, Lq, M * D)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert len(spatial_shapes) == L
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    orig_dtype = value.dtype
+    value = value.astype(jnp.float32)
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        HW = H * W
+        # (B, HW, M, D) -> (B, M, HW, D)
+        v = jnp.transpose(value[:, start : start + HW], (0, 2, 1, 3))
+        start += HW
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
+        # grid_sample(2*loc-1, align_corners=False) source coords:
+        #   fx = loc_x * W - 0.5 ; fy = loc_y * H - 0.5
+        fx = loc[..., 0] * W - 0.5
+        fy = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = fx - x0
+        wy = fy - y0
+
+        w_l = attention_weights[:, :, :, lvl]  # (B, Lq, M, P)
+        # (B, M, Lq, P)
+        w_l = jnp.transpose(w_l, (0, 2, 1, 3))
+        wx = jnp.transpose(wx, (0, 2, 1, 3))
+        wy = jnp.transpose(wy, (0, 2, 1, 3))
+        x0 = jnp.transpose(x0, (0, 2, 1, 3))
+        y0 = jnp.transpose(y0, (0, 2, 1, 3))
+
+        acc = jnp.zeros((B, M, Lq, D), jnp.float32)
+        for dy, wgt_y in ((0.0, 1.0 - wy), (1.0, wy)):
+            for dx, wgt_x in ((0.0, 1.0 - wx), (1.0, wx)):
+                xi = x0 + dx
+                yi = y0 + dy
+                valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+                xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+                yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+                lin = (yi_c * W + xi_c).reshape(B, M, Lq * P)
+                # gather rows: (B, M, Lq*P, D)
+                g = jnp.take_along_axis(v, lin[..., None], axis=2)
+                g = g.reshape(B, M, Lq, P, D)
+                w = (wgt_x * wgt_y * valid.astype(jnp.float32) * w_l)[..., None]
+                acc = acc + jnp.sum(g * w, axis=3)
+        out = out + acc
+
+    # (B, M, Lq, D) -> (B, Lq, M*D)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+    return out.astype(orig_dtype)
