@@ -1,0 +1,114 @@
+"""Headline benchmark: Cityscapes-resolution multi-task inference throughput
+on one TPU chip.
+
+Protocol (mirrors the reference's measurement mechanisms, SURVEY.md §6 /
+BASELINE.md): one "image" = the production eval work for one Cityscapes
+frame — a 1024x2048 segmentation forward through the flagship model
+(Swin-T -> MSDeformAttn pixel decoder -> query decoder) + full-resolution
+mask upsample + semantic/panoptic/instance post-processing, plus a 192x512
+two-frame depth/motion sequence forward (the DEPTH_TEST item). Steady-state,
+batch 1, excludes compilation; prints one JSON line.
+
+vs_baseline: BASELINE.md records that the reference publishes no numbers;
+the driver's north star is 2x an A100 running the reference. We use
+4.0 img/s as the A100 reference estimate (Mask2Former-family Swin-T
+panoptic inference at 1024x2048 is ~3-5 img/s on A100-class GPUs) =>
+vs_baseline = value / 4.0. Replace with a measured number when available.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_S = 4.0
+
+
+def main():
+    from uni_encoder_tpu.config import Config
+    from uni_encoder_tpu.data.tokenizer import tokenize_task
+    from uni_encoder_tpu.inference.postprocess import (
+        instance_inference,
+        panoptic_inference,
+        semantic_inference,
+    )
+    from uni_encoder_tpu.models.oneformer import UniEncoder
+    from uni_encoder_tpu.ops import interpolate
+
+    cfg = Config().model
+    model = UniEncoder(cfg)
+
+    SEG_H, SEG_W = 1024, 2048
+    DEP_H, DEP_W = 192, 512
+    rng = np.random.RandomState(0)
+    seg_img = jnp.asarray(rng.randn(1, SEG_H, SEG_W, 3), jnp.float32)
+    dep_img = jnp.asarray(rng.randn(1, DEP_H, DEP_W, 3), jnp.float32)
+    prev_img = jnp.asarray(rng.randn(1, DEP_H, DEP_W, 3), jnp.float32)
+    tasks = jnp.asarray([tokenize_task("The task is panoptic")], jnp.int32)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), seg_img, tasks)
+    v_seq = jax.jit(
+        lambda r, a, b: model.init(r, a, b, method=UniEncoder.forward_sequence)
+    )(jax.random.PRNGKey(0), dep_img, prev_img)
+    # merge sequence-only params (pose/motion/depth decoders)
+    params = dict(variables["params"])
+    for k, v in v_seq["params"].items():
+        params.setdefault(k, v)
+    batch_stats = dict(v_seq.get("batch_stats", {}))
+    variables = {"params": params, **({"batch_stats": batch_stats} if batch_stats else {})}
+
+    thing_mask = jnp.asarray(np.isin(np.arange(19), np.arange(11, 19)))
+
+    @jax.jit
+    def seg_step(variables, images, tasks):
+        out = model.apply(variables, images, tasks)
+        masks = out["pred_masks"][0]  # (Q, H/4, W/4)
+        masks = interpolate(
+            masks.transpose(1, 2, 0)[None], size=(SEG_H, SEG_W), mode="bilinear"
+        )[0].transpose(2, 0, 1)
+        logits = out["pred_logits"][0]
+        sem = semantic_inference(logits, masks)
+        pan = panoptic_inference(logits, masks, thing_mask, 0.8, 0.8)
+        inst = instance_inference(logits, masks, 150)
+        return sem.argmax(0).astype(jnp.int32), pan["panoptic_seg"], inst["scores"]
+
+    @jax.jit
+    def dep_step(variables, images, prev):
+        out = model.apply(variables, images, prev, method=UniEncoder.forward_sequence)
+        return out["disp"], out["motion_mask"], out["complete_flow"], out["cam_T_cam"]
+
+    # compile
+    jax.block_until_ready(seg_step(variables, seg_img, tasks))
+    jax.block_until_ready(dep_step(variables, dep_img, prev_img))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = seg_step(variables, seg_img, tasks)
+        d = dep_step(variables, dep_img, prev_img)
+    jax.block_until_ready((r, d))
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_s = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cityscapes_1024x2048_multitask_inference",
+                "value": round(img_per_s, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

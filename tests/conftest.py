@@ -19,4 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# the axon sitecustomize force-registers the TPU backend regardless of the
+# env var; the config update is the reliable override.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -176,5 +176,48 @@ class UniEncoder(nn.Module):
             "cam_T_cam": cam_T_cam,
         }
 
+    def forward_sequence_train(
+        self, images: jnp.ndarray, prev_images: jnp.ndarray, next_images: jnp.ndarray
+    ) -> Dict:
+        """Training sequence forward over a 3-frame window: predicts depth at
+        4 scales for the center frame and pose/flow/mask for both neighbor
+        pairs (frame ids -1 and +1 — the monodepth loss's frame_ids). The
+        pose decoder's two output slots map to the two neighbors."""
+        B = images.shape[0]
+        both = jnp.concatenate([images, prev_images, next_images], axis=0)
+        feats = self.backbone(both)
+        f_cur = {k: v[:B] for k, v in feats.items()}
+        f_prev = {k: v[B : 2 * B] for k, v in feats.items()}
+        f_next = {k: v[2 * B :] for k, v in feats.items()}
+
+        disps = self.depth_decoder(f_cur)
+        outputs = {
+            "disps": {s: disps[("disp", s)] for s in range(4)},
+            "cam_T_cam": {},
+            "complete_flow": {},
+            "motion_mask": {},
+            "motion_prob": {},
+        }
+
+        for frame_id, f_other, img_other, slot in (
+            (-1, f_prev, prev_images, 0),
+            (1, f_next, next_images, 1),
+        ):
+            fm = {k: jnp.concatenate([f_other[k], f_cur[k]], axis=-1) for k in f_cur}
+            axisangle, translation = self.pose_decoder(fm)
+            aa, t = axisangle[:, slot], translation[:, slot]
+            outputs["cam_T_cam"][frame_id] = transformation_from_parameters(
+                aa, t, invert=(frame_id < 0)
+            )
+            ego = jax.lax.stop_gradient(jnp.concatenate([t, aa], axis=-1)).reshape(B, 1, 1, 6)
+            full_res = jnp.concatenate([img_other, images], axis=-1)
+            flow = self.motion_decoder(full_res, fm, ego)
+            prob = self.motion_mask(full_res, fm, ego)
+            for s in range(4):
+                outputs["complete_flow"][(frame_id, s)] = flow[("complete_flow", s)]
+                outputs["motion_mask"][(frame_id, s)] = prob[("motion_mask", s)]
+                outputs["motion_prob"][(frame_id, s)] = prob[("motion_prob", s)]
+        return outputs
+
     def __call__(self, images: jnp.ndarray, task_tokens: jnp.ndarray) -> Dict:
         return self.forward_segmentation(images, task_tokens)

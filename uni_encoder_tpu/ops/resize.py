@@ -98,8 +98,13 @@ def interpolate(
     raise ValueError(f"unsupported mode {mode!r}")
 
 
-def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
-    """`F.grid_sample(mode='bilinear', padding_mode='zeros')` for NHWC inputs.
+def grid_sample(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """`F.grid_sample(mode='bilinear', padding_mode='zeros'|'border')` (NHWC).
 
     x: (B, H, W, C); grid: (B, Ho, Wo, 2) with normalized (gx, gy) in [-1, 1].
     Returns (B, Ho, Wo, C).
@@ -113,6 +118,11 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) 
         fx = ((gx + 1.0) * W - 1.0) * 0.5
         fy = ((gy + 1.0) * H - 1.0) * 0.5
 
+    if padding_mode == "border":
+        # torch clamps the *source coordinate* so corner weights follow
+        fx = jnp.clip(fx, 0, W - 1)
+        fy = jnp.clip(fy, 0, H - 1)
+
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     wx = fx - x0
@@ -124,13 +134,16 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False) 
         for dx, wx_ in ((0.0, 1.0 - wx), (1.0, wx)):
             xi = x0 + dx
             yi = y0 + dy
-            valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            if padding_mode == "zeros":
+                valid = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(x.dtype)
+            else:
+                valid = jnp.ones_like(xi, x.dtype)
             xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
             yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
             lin = yi_c * W + xi_c  # (B, Ho, Wo)
             g = jnp.take_along_axis(
                 flat, lin.reshape(B, -1, 1), axis=1
             ).reshape(B, *lin.shape[1:], C)
-            w = (wx_ * wy_ * valid.astype(x.dtype))[..., None]
+            w = (wx_ * wy_ * valid)[..., None]
             out = out + g * w
     return out
