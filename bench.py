@@ -45,6 +45,7 @@ def main():
 
     cfg = Config().model
     model = UniEncoder(cfg)
+    use_bf16 = os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
 
     SEG_H, SEG_W = 1024, 2048
     DEP_H, DEP_W = 192, 512
@@ -64,6 +65,15 @@ def main():
         params.setdefault(k, v)
     batch_stats = dict(v_seq.get("batch_stats", {}))
     variables = {"params": params, **({"batch_stats": batch_stats} if batch_stats else {})}
+    if use_bf16:
+        # bf16 params/activations; fp32 islands: deformable sampling core,
+        # attention logits/softmax, norm statistics (flax upcasts)
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+        )
+        seg_img = seg_img.astype(jnp.bfloat16)
+        dep_img = dep_img.astype(jnp.bfloat16)
+        prev_img = prev_img.astype(jnp.bfloat16)
 
     thing_mask = jnp.asarray(np.isin(np.arange(19), np.arange(11, 19)))
 
@@ -85,8 +95,9 @@ def main():
         out = model.apply(variables, images, prev, method=UniEncoder.forward_sequence)
         return out["disp"], out["motion_mask"], out["complete_flow"], out["cam_T_cam"]
 
-    # compile
-    jax.block_until_ready(seg_step(variables, seg_img, tasks))
+    # compile + sanity
+    r0 = jax.tree_util.tree_map(np.asarray, seg_step(variables, seg_img, tasks))
+    assert np.isfinite(r0[2]).all(), "non-finite instance scores"
     jax.block_until_ready(dep_step(variables, dep_img, prev_img))
 
     iters = 10

@@ -40,6 +40,10 @@ def build_evaluator(dataset_name: str, task: str):
     from uni_encoder_tpu.evaluation.kitti import KITTIDepthEvaluator
 
     etype = MetadataCatalog.get(dataset_name).get("evaluator_type")
+    if etype == "coco_instance":
+        from uni_encoder_tpu.evaluation.coco import COCOInstanceEvaluator
+
+        return COCOInstanceEvaluator(dataset_name)
     if etype == "cityscapes_depth":
         return CityscapesDepthEvaluator(dataset_name)
     if etype == "kitti_depth":

@@ -184,6 +184,47 @@ def convert_swin(c: Converter, depths=(2, 2, 6, 2)) -> None:
         c.norm(f"{b}norm{i}", ("backbone", f"out_norm{i}"))
 
 
+def convert_resnet(c: Converter, depths=(2, 2, 2, 2), bottleneck=False) -> None:
+    """d2 custom ResNet (reference model/modeling/backbone/resnet.py:614-695):
+    stem conv1 + per-stage res{2..5}.{j} blocks (conv1/2[/3] + BN +
+    optional shortcut)."""
+    b = "backbone."
+    c.conv(b + "stem.conv1", ("backbone", "stem_conv1"), bias=False)
+    c.bn(b + "stem.conv1.norm", ("backbone", "stem_bn1"))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            src = f"{b}res{i+2}.{j}."
+            dst = ("backbone", f"res{i+2}_block{j}")
+            n_convs = 3 if bottleneck else 2
+            for k in range(1, n_convs + 1):
+                c.conv(src + f"conv{k}", dst + (f"conv{k}",), bias=False)
+                c.bn(src + f"conv{k}.norm", dst + (f"bn{k}",))
+            c.conv(src + "shortcut", dst + ("shortcut_conv",), bias=False)
+            c.bn(src + "shortcut.norm", dst + ("shortcut_bn",))
+
+
+def convert_convnext(c: Converter, depths=(3, 3, 9, 3)) -> None:
+    """reference model/modeling/backbone/convnext.py: stem/downsample_layers,
+    stages.{i}.{j} blocks (dwconv, norm, pwconv1/2, gamma), out norm{i}."""
+    b = "backbone."
+    c.conv(b + "downsample_layers.0.0", ("backbone", "stem_conv"))
+    c.norm(b + "downsample_layers.0.1", ("backbone", "stem_norm"))
+    for i in range(1, 4):
+        c.norm(b + f"downsample_layers.{i}.0", ("backbone", f"downsample_{i}_norm"))
+        c.conv(b + f"downsample_layers.{i}.1", ("backbone", f"downsample_{i}_conv"))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            src = f"{b}stages.{i}.{j}."
+            dst = ("backbone", f"stages_{i}_blocks_{j}")
+            c.conv(src + "dwconv", dst + ("dwconv",))
+            c.norm(src + "norm", dst + ("norm",))
+            c.linear(src + "pwconv1", dst + ("pwconv1",))
+            c.linear(src + "pwconv2", dst + ("pwconv2",))
+            c.raw(src + "gamma", dst + ("gamma",))
+    for i in range(4):
+        c.norm(b + f"norm{i}", ("backbone", f"out_norm{i}"))
+
+
 def convert_msdeform_pixel_decoder(c: Converter, prefix="sem_seg_head.pixel_decoder.", dst0="pixel_decoder", layers=6, levels=3):
     trunk = (dst0, "trunk")
     for i in range(levels):

@@ -122,22 +122,40 @@ class GroupNorm32(nn.Module):
 
 
 class FrozenBatchNorm(nn.Module):
-    """Inference BatchNorm: uses stored running stats (torch eval mode).
+    """BatchNorm matching torch semantics.
 
-    Training-mode batch stats (incl. cross-replica SyncBN via axis_name)
-    are handled by the train step wrapping this with nn.BatchNorm; for the
-    eval-only parity path frozen stats match the reference's .eval() nets.
+    Eval (use_running_average=True, the default): stored running stats —
+    matches the reference's .eval() nets for checkpoint parity.
+
+    Train (use_running_average=False): batch statistics over (N, H, W) with
+    running-stat updates (momentum 0.9, torch default 1 - 0.1). SyncBN
+    (reference config NORM: "SyncBN") comes for free under pjit: with the
+    batch sharded over the mesh's data axis, jnp.mean over axis 0 is a
+    global cross-replica reduction inserted by GSPMD.
     """
 
     channels: int
     eps: float = 1e-5
+    use_running_average: bool = True
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.channels,))).value
-        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.channels,))).value
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.channels,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.channels,)))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // x.shape[-1]
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
         inv = jax.lax.rsqrt(var + self.eps) * scale
         return x * inv + (bias - mean * inv)
 

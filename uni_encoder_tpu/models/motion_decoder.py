@@ -24,21 +24,22 @@ from .layers import FrozenBatchNorm, elu, relu
 class _ELUResidualBlock(nn.Module):
     features: int
     stride: int = 1
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False, name="conv1"
         )(x)
-        out = FrozenBatchNorm(self.features, name="bn1")(out)
+        out = FrozenBatchNorm(self.features, use_running_average=not self.train_bn, name="bn1")(out)
         out = relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = FrozenBatchNorm(self.features, name="bn2")(out)
+        out = FrozenBatchNorm(self.features, use_running_average=not self.train_bn, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             sc = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="shortcut_conv"
             )(x)
-            sc = FrozenBatchNorm(self.features, name="shortcut_bn")(sc)
+            sc = FrozenBatchNorm(self.features, use_running_average=not self.train_bn, name="shortcut_bn")(sc)
         else:
             sc = x
         return elu(out + sc)
@@ -48,13 +49,14 @@ class _FusionStage(nn.Module):
     features: int
     num_blocks: int = 2
     stride: int = 1
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (1, 1), name="proj")(x)
         strides = [self.stride] + [1] * (self.num_blocks - 1)
         for i, s in enumerate(strides):
-            x = _ELUResidualBlock(self.features, stride=s, name=f"block{i}")(x)
+            x = _ELUResidualBlock(self.features, stride=s, train_bn=self.train_bn, name=f"block{i}")(x)
         return x
 
 
@@ -62,6 +64,7 @@ class MotionDecoderV2(nn.Module):
     """out_dim=3: complete flow; out_dim=1: motion probability/mask."""
 
     out_dim: int = 3
+    train_bn: bool = False
     # per-stage input feature channels (stage 0 = RGB pair, 1 = refined res2,
     # 2..5 = concatenated two-frame res2..res5)
     num_inp_feat = (6, 64, 192, 384, 768, 1536)
@@ -77,7 +80,7 @@ class MotionDecoderV2(nn.Module):
         feat1 = interpolate(
             jax.lax.stop_gradient(features["res2"]), scale_factor=2, mode="bilinear", align_corners=False
         )
-        feat1 = _FusionStage(64, stride=1, name="layer0")(feat1)
+        feat1 = _FusionStage(64, stride=1, train_bn=self.train_bn, name="layer0")(feat1)
 
         res_trans = nn.Conv(self.out_dim, (1, 1), name="res_trans_conv")(100.0 * ego_motion)
 

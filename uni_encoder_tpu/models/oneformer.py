@@ -129,9 +129,9 @@ class UniEncoder(nn.Module):
         )
         # task MLP consumes raw token ids as floats (reference quirk)
         self.task_mlp = MLP(of.hidden_dim, of.hidden_dim, 2, name="task_mlp")
-        self.pose_decoder = ResNetLikePoseDecoder(name="pose_decoder")
-        self.motion_decoder = MotionDecoderV2(out_dim=3, name="motion_decoder")
-        self.motion_mask = MotionDecoderV2(out_dim=1, name="motion_mask")
+        self.pose_decoder = ResNetLikePoseDecoder(train_bn=cfg.is_train, name="pose_decoder")
+        self.motion_decoder = MotionDecoderV2(out_dim=3, train_bn=cfg.is_train, name="motion_decoder")
+        self.motion_mask = MotionDecoderV2(out_dim=1, train_bn=cfg.is_train, name="motion_mask")
 
     def forward_segmentation(self, images: jnp.ndarray, task_tokens: jnp.ndarray) -> Dict:
         """images: (B, H, W, 3) normalized; task_tokens: (B, task_seq_len) int."""

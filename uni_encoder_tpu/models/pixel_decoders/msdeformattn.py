@@ -126,7 +126,10 @@ class _MSDeformTrunk(nn.Module):
         # ---- project transformer inputs, low-res first (res5 -> res3)
         srcs, poss, shapes = [], [], []
         for f in reversed(list(self.transformer_in_features)):
-            x = features[f].astype(jnp.float32)
+            # dtype-following (bf16-capable); the fp32 island is the sampling
+            # core inside ops.ms_deform_attn, matching the reference's
+            # autocast(enabled=False) scope
+            x = features[f]
             i = len(srcs)
             x = nn.Conv(C, (1, 1), name=f"input_proj_{i}_conv")(x)
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"input_proj_{i}_gn")(x)
@@ -141,7 +144,7 @@ class _MSDeformTrunk(nn.Module):
         src_flat = jnp.concatenate([s.reshape(B, -1, C) for s in srcs], axis=1)
         pos_flat = jnp.concatenate(
             [
-                (p.reshape(1, -1, C) + level_embed[i][None, None]).astype(jnp.float32)
+                (p.reshape(1, -1, C) + level_embed[i][None, None]).astype(src_flat.dtype)
                 for i, p in enumerate(poss)
             ],
             axis=1,
@@ -170,7 +173,7 @@ class _MSDeformTrunk(nn.Module):
 
         # ---- FPN tail down to common stride (reference: one level, res2)
         for idx, f in enumerate(reversed(list(self.fpn_in_features))):
-            x = features[f].astype(jnp.float32)
+            x = features[f]
             lat = nn.Conv(C, (1, 1), use_bias=False, name=f"adapter_{idx+1}_conv")(x)
             lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"adapter_{idx+1}_gn")(lat)
             up = interpolate(out[-1], size=lat.shape[1:3], mode="bilinear", align_corners=False)

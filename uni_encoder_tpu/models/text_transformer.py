@@ -69,3 +69,57 @@ class TextProjector(nn.Module):
     @nn.compact
     def __call__(self, x):
         return MLP(self.hidden_dim, self.hidden_dim, self.num_layers, name="proj")(x)
+
+
+class _SeparateQKVAttention(nn.Module):
+    """Attention with separate q/k/v projections (text_transformer.py:32-65)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        H = self.num_heads
+        Dh = self.dim // H
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = nn.Dense(self.dim, use_bias=False, name="q_proj")(q).reshape(B, N, H, Dh)
+        k = nn.Dense(self.dim, use_bias=False, name="k_proj")(k).reshape(B, M, H, Dh)
+        v = nn.Dense(self.dim, use_bias=False, name="v_proj")(v).reshape(B, M, H, Dh)
+        attn = jnp.einsum("bnkc,bmkc->bknm", q, k) * (Dh ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        x = jnp.einsum("bknm,bmkc->bnkc", attn, v).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, name="proj")(x)
+
+
+class ContextDecoder(nn.Module):
+    """Text-to-visual context decoder (text_transformer.py:99-149): pre-norm
+    self + cross attention layers contextualizing text embeddings with
+    projected visual features. Training-only (prompt_ctx is None at
+    inference, oneformer_model.py:147-149)."""
+
+    transformer_width: int = 256
+    transformer_heads: int = 4
+    transformer_layers: int = 6
+    visual_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, visual: jnp.ndarray) -> jnp.ndarray:
+        W = self.transformer_width
+        mem = nn.LayerNorm(epsilon=1e-5, name="memory_norm1")(visual)
+        mem = nn.Dense(W, name="memory_proj")(mem)
+        mem = nn.LayerNorm(epsilon=1e-5, name="memory_norm2")(mem)
+        x = nn.LayerNorm(epsilon=1e-5, name="text_norm")(text)
+        x = nn.Dense(W, name="text_proj")(x)
+        for i in range(self.transformer_layers):
+            pre = nn.LayerNorm(epsilon=1e-5, name=f"layer{i}_norm1")(x)
+            x = x + _SeparateQKVAttention(W, self.transformer_heads, name=f"layer{i}_self_attn")(pre, pre, pre)
+            q = nn.LayerNorm(epsilon=1e-5, name=f"layer{i}_norm2")(x)
+            x = x + _SeparateQKVAttention(W, self.transformer_heads, name=f"layer{i}_cross_attn")(q, mem, mem)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"layer{i}_norm3")(x)
+            y = nn.Dense(4 * W, name=f"layer{i}_mlp_fc1")(y)
+            y = jax.nn.gelu(y, approximate=False)
+            y = nn.Dense(W, name=f"layer{i}_mlp_fc2")(y)
+            x = x + y
+        out = nn.LayerNorm(epsilon=1e-5, name="out_norm")(x)
+        return nn.Dense(self.visual_dim, name="out_proj")(out)

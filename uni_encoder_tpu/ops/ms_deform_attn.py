@@ -42,6 +42,88 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
+    """TPU-optimized formulation: one 2x2xD patch-gather per (level, point)
+    from zero-padded maps — the padding realizes grid_sample's zero padding
+    exactly and keeps every gather slice contiguous (4x fewer, wider gathers
+    than the naive per-corner version kept below as ms_deform_attn_corners)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert len(spatial_shapes) == L
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    orig_dtype = value.dtype
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        HW = H * W
+        # (B, HW, M, D) -> (B*M, H+2, W+2, D) zero-padded map; the gather runs
+        # in the value dtype (bf16 halves the gather traffic; the weighted
+        # reduction below accumulates in fp32 either way)
+        v = jnp.transpose(value[:, start : start + HW], (0, 2, 1, 3))
+        v = v.reshape(B * M, H, W, D)
+        v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        start += HW
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
+        fx = loc[..., 0] * W - 0.5
+        fy = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = fx - x0
+        wy = fy - y0
+        # patches fully outside the map contribute nothing
+        inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+        w_l = attention_weights[:, :, :, lvl] * inside  # (B, Lq, M, P)
+
+        # -> (B*M, Lq*P, ...) layouts
+        def bm(x):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * M, Lq * P)
+
+        ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+        iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+        idx = jnp.stack([bm(iy), bm(ix)], axis=-1)  # (B*M, LqP, 2)
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        patches = jax.vmap(
+            lambda vm, im: jax.lax.gather(
+                vm, im, dnums, slice_sizes=(2, 2, D),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
+        )(v, idx)  # (B*M, LqP, 2, 2, D)
+        patches = patches.reshape(B, M, Lq, P, 2, 2, D)
+
+        wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
+        wyb = jnp.transpose(wy, (0, 2, 1, 3))
+        wlb = jnp.transpose(w_l, (0, 2, 1, 3))
+        cw = jnp.stack(
+            [
+                (1 - wyb) * (1 - wxb),
+                (1 - wyb) * wxb,
+                wyb * (1 - wxb),
+                wyb * wxb,
+            ],
+            axis=-1,
+        ) * wlb[..., None]  # (B, M, Lq, P, 4)
+        cw = cw.reshape(B, M, Lq, P, 2, 2)
+        out = out + jnp.einsum(
+            "bmqpyx,bmqpyxd->bmqd", cw, patches, preferred_element_type=jnp.float32
+        )
+
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+    return out.astype(orig_dtype)
+
+
+def ms_deform_attn_corners(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L

@@ -161,8 +161,9 @@ class Trainer:
         def loss_fn(trainable):
             params, text_params = trainable
             variables = {"params": params, "batch_stats": state.batch_stats}
-            seg_out = self.model.apply(
-                variables, seg_batch["images"], seg_batch["task_tokens"]
+            seg_out, seg_mut = self.model.apply(
+                variables, seg_batch["images"], seg_batch["task_tokens"],
+                mutable=["batch_stats"],
             )
             text_feats = self.text_encoder.apply({"params": text_params}, seg_batch["text_tokens"])
             seg_targets = {
@@ -174,12 +175,13 @@ class Trainer:
             r_seg, r_seq = jax.random.split(rng)
             seg_losses = self.criterion(r_seg, seg_out, seg_targets)
 
-            seq_out = self.model.apply(
+            seq_out, seq_mut = self.model.apply(
                 variables,
                 seq_batch["images"],
                 seq_batch["prev_images"],
                 seq_batch["next_images"],
                 method=UniEncoder.forward_sequence_train,
+                mutable=["batch_stats"],
             )
             seq_targets = {
                 "color": {
@@ -201,14 +203,20 @@ class Trainer:
                 "loss_mask": seg_losses["loss_mask"],
                 "loss_dice": seg_losses["loss_dice"],
             }
-            return total, metrics
+            new_bstats = _merge_trees(
+                seq_mut.get("batch_stats", {}), seg_mut.get("batch_stats", {})
+            )
+            return total, (metrics, new_bstats)
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)((state.params, state.text_params))
+        grads, (metrics, new_bstats) = jax.grad(loss_fn, has_aux=True)(
+            (state.params, state.text_params)
+        )
         updates, opt_state = self._tx.update(
             grads, state.opt_state, (state.params, state.text_params)
         )
         params, text_params = optax.apply_updates((state.params, state.text_params), updates)
-        new_state = TrainState(state.step + 1, params, state.batch_stats, text_params, opt_state)
+        bstats = new_bstats if new_bstats else state.batch_stats
+        new_state = TrainState(state.step + 1, params, bstats, text_params, opt_state)
         return new_state, metrics
 
 
