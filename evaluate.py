@@ -160,7 +160,19 @@ def main():
         if not is_depth:
             thing_ids = sorted(meta.get("thing_dataset_id_to_contiguous_id", {}).values())
             predictor.set_thing_ids(thing_ids)
-        run = predictor.infer_sequence if is_depth else predictor.infer_segmentation
+        if is_depth:
+            run = predictor.infer_sequence
+        elif cfg.model.test.aug_enabled and task == "semantic":
+            from uni_encoder_tpu.engine.tta import SemanticTTA
+
+            run = SemanticTTA(
+                predictor,
+                cfg.model.test.aug_min_sizes,
+                cfg.model.test.aug_max_size,
+                cfg.model.test.aug_flip,
+            )
+        else:
+            run = predictor.infer_segmentation
         logger.info(f"evaluating {name} ({len(loader)} images, task={task})")
         r = inference_on_dataset(run, loader, build_evaluator(name, task))
         results[name] = r

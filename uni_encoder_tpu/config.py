@@ -132,6 +132,11 @@ class TestConfig:
     task: str = "panoptic"  # panoptic | semantic | instance
     detections_per_image: int = 150
     sem_seg_postprocessing_before_inference: bool = True
+    # test-time augmentation (reference TEST.AUG)
+    aug_enabled: bool = False
+    aug_min_sizes: Tuple[int, ...] = (512, 768, 1024, 1280, 1536, 1792)
+    aug_max_size: int = 4096
+    aug_flip: bool = True
 
 
 @dataclass(frozen=True)
