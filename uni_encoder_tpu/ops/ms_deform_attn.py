@@ -59,12 +59,19 @@ def ms_deform_attn(
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         HW = H * W
-        # (B, HW, M, D) -> (B*M, H+2, W+2, D) zero-padded map; the gather runs
-        # in the value dtype (bf16 halves the gather traffic; the weighted
-        # reduction below accumulates in fp32 either way)
+        # TPU gathers are slice-count-bound (~5M slices/s), so pack the whole
+        # 2x2 bilinear footprint into ONE single-row 4D-channel gather slice:
+        # store the zero-padded map concatenated with its x+1, y+1 and
+        # (y+1,x+1) shifts along channels ((H+1)*(W+1), 4D). A (1, 4D) slice
+        # at flat (y0, x0) fetches all 4 corners in one 128-lane row.
+        # (4x value memory for ~10x fewer/wider slices than the naive
+        # per-corner form — see BASELINE.md perf log.)
         v = jnp.transpose(value[:, start : start + HW], (0, 2, 1, 3))
         v = v.reshape(B * M, H, W, D)
         v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        v = jnp.concatenate([v[:, :, :-1], v[:, :, 1:]], axis=-1)  # x-pairs
+        v = jnp.concatenate([v[:, :-1], v[:, 1:]], axis=-1)  # + y-pairs
+        v = v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
         start += HW
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
@@ -84,18 +91,18 @@ def ms_deform_attn(
 
         ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
         iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
-        idx = jnp.stack([bm(iy), bm(ix)], axis=-1)  # (B*M, LqP, 2)
+        lin = bm(iy) * (W + 1) + bm(ix)  # (B*M, LqP) flat start of (y0, x0)
 
         dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
         )
-        patches = jax.vmap(
+        quads = jax.vmap(
             lambda vm, im: jax.lax.gather(
-                vm, im, dnums, slice_sizes=(2, 2, D),
-                mode=jax.lax.GatherScatterMode.CLIP,
+                vm, im, dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )
-        )(v, idx)  # (B*M, LqP, 2, 2, D)
-        patches = patches.reshape(B, M, Lq, P, 2, 2, D)
+        )(v, lin[..., None])  # (B*M, LqP, 4D = [y0x0, y0x1, y1x0, y1x1])
+        patches = quads.reshape(B, M, Lq, P, 2, 2, D)
 
         wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
         wyb = jnp.transpose(wy, (0, 2, 1, 3))
@@ -110,8 +117,13 @@ def ms_deform_attn(
             axis=-1,
         ) * wlb[..., None]  # (B, M, Lq, P, 4)
         cw = cw.reshape(B, M, Lq, P, 2, 2)
+        # contract in the value dtype (avoids materializing an f32 copy of
+        # the big patch tensor in bf16 mode); accumulate in f32
         out = out + jnp.einsum(
-            "bmqpyx,bmqpyxd->bmqd", cw, patches, preferred_element_type=jnp.float32
+            "bmqpyx,bmqpyxd->bmqd",
+            cw.astype(patches.dtype),
+            patches,
+            preferred_element_type=jnp.float32,
         )
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
