@@ -102,29 +102,26 @@ def ms_deform_attn(
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )
         )(v, lin[..., None])  # (B*M, LqP, 4D = [y0x0, y0x1, y1x0, y1x1])
-        patches = quads.reshape(B, M, Lq, P, 2, 2, D)
 
         wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
         wyb = jnp.transpose(wy, (0, 2, 1, 3))
         wlb = jnp.transpose(w_l, (0, 2, 1, 3))
-        cw = jnp.stack(
-            [
-                (1 - wyb) * (1 - wxb),
-                (1 - wyb) * wxb,
-                wyb * (1 - wxb),
-                wyb * wxb,
-            ],
-            axis=-1,
-        ) * wlb[..., None]  # (B, M, Lq, P, 4)
-        cw = cw.reshape(B, M, Lq, P, 2, 2)
-        # contract in the value dtype (avoids materializing an f32 copy of
-        # the big patch tensor in bf16 mode); accumulate in f32
-        out = out + jnp.einsum(
-            "bmqpyx,bmqpyxd->bmqd",
-            cw.astype(patches.dtype),
-            patches,
-            preferred_element_type=jnp.float32,
+        # corner weights in gather-channel order [y0x0, y0x1, y1x0, y1x1];
+        # weighted sum via static lane-slices of the packed 4D axis — avoids
+        # relayouting the big gather output into a (.., 2, 2, D) view
+        corner_w = (
+            (1 - wyb) * (1 - wxb),
+            (1 - wyb) * wxb,
+            wyb * (1 - wxb),
+            wyb * wxb,
         )
+        quads = quads.reshape(B, M, Lq, P, 4 * D)
+        acc = jnp.zeros((B, M, Lq, D), jnp.float32)
+        for c in range(4):
+            w_c = (corner_w[c] * wlb).astype(quads.dtype)
+            term = quads[..., c * D : (c + 1) * D] * w_c[..., None]
+            acc = acc + jnp.sum(term.astype(jnp.float32), axis=3)
+        out = out + acc
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
     return out.astype(orig_dtype)
