@@ -121,6 +121,18 @@ class OneFormerConfig:
 
 
 @dataclass(frozen=True)
+class TextEncoderConfig:
+    # reference MODEL.TEXT_ENCODER (config.py / Base yaml: WIDTH 256,
+    # CONTEXT_LENGTH 77, NUM_LAYERS 6, VOCAB_SIZE 49408, PROJ_NUM_LAYERS 2)
+    width: int = 256
+    context_length: int = 77
+    num_layers: int = 6
+    vocab_size: int = 49408
+    proj_num_layers: int = 2
+    n_ctx: int = 16
+
+
+@dataclass(frozen=True)
 class TestConfig:
     semantic_on: bool = True
     instance_on: bool = True
@@ -145,6 +157,7 @@ class ModelConfig:
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     sem_seg_head: SemSegHeadConfig = field(default_factory=SemSegHeadConfig)
     one_former: OneFormerConfig = field(default_factory=OneFormerConfig)
+    text_encoder: TextEncoderConfig = field(default_factory=TextEncoderConfig)
     test: TestConfig = field(default_factory=TestConfig)
     pixel_mean: Tuple[float, ...] = (123.675, 116.280, 103.530)
     pixel_std: Tuple[float, ...] = (58.395, 57.120, 57.375)

@@ -87,7 +87,16 @@ def build_pixel_decoder(cfg: ModelConfig, depth: bool) -> nn.Module:
     name = h.depth_decoder_name if depth else h.pixel_decoder_name
     cls = PIXEL_DECODERS.get(name)
     modname = "depth_decoder" if depth else "pixel_decoder"
-    if name in ("MSDeformAttnPixelDecoder", "DepthMSDeformAttnPixelDecoder"):
+    if name == "MSDeformAttnPixelDecoder":
+        return cls(
+            conv_dim=h.convs_dim,
+            mask_dim=h.mask_dim,
+            transformer_layers=h.transformer_enc_layers,
+            n_heads=cfg.one_former.nheads,
+            transformer_in_features=h.deformable_transformer_encoder_in_features,
+            name=modname,
+        )
+    if name == "DepthMSDeformAttnPixelDecoder":
         return cls(
             conv_dim=h.convs_dim,
             transformer_layers=h.transformer_enc_layers,

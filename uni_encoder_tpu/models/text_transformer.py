@@ -52,7 +52,7 @@ class TextTransformer(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01), (self.context_length, self.width))
         x = tok + pos[None, :L]
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
-        heads = self.width // 64
+        heads = max(1, self.width // 64)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, heads, name=f"resblock_{i}")(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)

@@ -107,9 +107,12 @@ class Trainer:
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.model = UniEncoder(model_cfg)
+        te = model_cfg.text_encoder
         self.text_encoder = TextTransformer(
-            context_length=cfg.input.max_seq_len,
-            width=model_cfg.one_former.hidden_dim,
+            context_length=te.context_length,
+            width=te.width,
+            layers=te.num_layers,
+            vocab_size=te.vocab_size,
         )
         of = model_cfg.one_former
         self.criterion = SetCriterion(
