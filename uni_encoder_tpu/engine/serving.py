@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Callable, List, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

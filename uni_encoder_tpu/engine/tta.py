@@ -10,10 +10,9 @@ maps back to the original resolution, and averages them.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
-from PIL import Image
 
 from ..data.mappers import resize_shortest_edge
 

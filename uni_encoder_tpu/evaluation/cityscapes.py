@@ -11,17 +11,14 @@ scaling / clamps (cityscapes_evaluation.py:231-362).
 
 from __future__ import annotations
 
-import json
 import logging
-import os
-from typing import Dict, List, Optional
+from typing import List
 
 import numpy as np
 from PIL import Image
 
 from ..data.cityscapes_labels import (
     IGNORE_LABEL,
-    LABEL_DIVISOR,
     NUM_CLASSES,
     STUFF_TRAIN_IDS,
     THING_TRAIN_IDS,

@@ -10,7 +10,7 @@ inference: the demo and the depth evaluators consume them.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from .ms_deform_attn import ms_deform_attn as _xla_ms_deform_attn
 
 try:  # pallas TPU backend
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _HAS_PALLAS = True
 except ImportError:  # pragma: no cover

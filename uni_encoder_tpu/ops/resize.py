@@ -22,10 +22,8 @@ TPU gathers along the sublane axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 

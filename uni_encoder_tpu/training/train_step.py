@@ -17,7 +17,6 @@ tensor-parallel shards of the big FFN kernels (parallel/mesh.py rules).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ from flax.core import FrozenDict
 
 from ..config import Config
 from ..models.oneformer import UniEncoder
-from ..models.text_transformer import TextProjector, TextTransformer
+from ..models.text_transformer import TextTransformer
 from .criterion import SetCriterion
 from .monodepth import monodepth_loss
 
