@@ -24,9 +24,34 @@ import jax
 # env var; the config update is the reliable override.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache (env var is read too early — the axon
-# sitecustomize imports jax at interpreter startup)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
+# machine-keyed persistent compile cache (CPU AOT artifacts are not portable
+# across hosts; see uni_encoder_tpu/utils/cache.py)
+from uni_encoder_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- slow marker
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (production-width compiles: minutes on CPU)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-width compile tests, excluded by default"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -31,13 +31,16 @@ def _tree_leaves(tree, prefix=()):
 
 @pytest.fixture(scope="module")
 def init_tree():
+    # the test only needs parameter names/shapes -> eval_shape (no XLA
+    # compile; the production model's init graph takes minutes on CPU)
     cfg = Config().model
     model = UniEncoder(cfg)
     img = jnp.zeros((1, 64, 128, 3))
     tasks = jnp.zeros((1, 77), jnp.int32)
-    v1 = jax.jit(model.init)(jax.random.PRNGKey(0), img, tasks)
-    v2 = jax.jit(lambda r, a, b: model.init(r, a, b, method=UniEncoder.forward_sequence))(
-        jax.random.PRNGKey(0), img, img
+    v1 = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, tasks)
+    v2 = jax.eval_shape(
+        lambda r, a, b: model.init(r, a, b, method=UniEncoder.forward_sequence),
+        jax.random.PRNGKey(0), img, img,
     )
     params = dict(v1["params"])
     for k, v in v2["params"].items():

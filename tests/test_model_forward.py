@@ -1,5 +1,14 @@
 """End-to-end shape/jit smoke tests for the full meta-architecture on tiny
-static inputs (CPU)."""
+static inputs (CPU).
+
+Uses a structurally-production config (Swin + MSDeformAttnPixelDecoder +
+TransDSSL + query decoder + pose/motion stack — every production component)
+with scaled-down widths so the XLA CPU compile stays in seconds; the
+production-width compile is exercised on real hardware by bench.py and by
+the driver's entry() compile check.
+"""
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -7,13 +16,30 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from uni_encoder_tpu import config as C
 from uni_encoder_tpu.config import Config
 from uni_encoder_tpu.models.oneformer import UniEncoder
 
 
+def _scaled_config():
+    swin = C.SwinConfig(embed_dim=32, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8))
+    of = C.OneFormerConfig(
+        num_object_queries=20, dec_layers=4, class_dec_layers=1,
+        dim_feedforward=128, hidden_dim=64, nheads=4,
+    )
+    head = C.SemSegHeadConfig(num_classes=19, convs_dim=64, mask_dim=64,
+                              transformer_enc_layers=2)
+    return dataclasses.replace(
+        Config().model,
+        backbone=C.BackboneConfig(name="swin", swin=swin),
+        sem_seg_head=head,
+        one_former=of,
+    )
+
+
 @pytest.fixture(scope="module")
 def tiny_model():
-    cfg = Config().model
+    cfg = _scaled_config()
     model = UniEncoder(cfg)
     rng = jax.random.PRNGKey(0)
     images = jnp.zeros((1, 64, 128, 3), jnp.float32)
@@ -55,3 +81,16 @@ def test_sequence_forward(tiny_model):
     d = np.asarray(out["disp"])
     assert (d >= 0).all() and (d <= 1).all()
     assert not np.isnan(np.asarray(out["cam_T_cam"])).any()
+
+
+@pytest.mark.slow
+def test_production_width_forward_compiles():
+    """Full production-width compile check (minutes on CPU; run with
+    --runslow or on real hardware)."""
+    cfg = Config().model
+    model = UniEncoder(cfg)
+    images = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    tasks = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, tasks)
+    out = jax.jit(model.apply)(variables, images, tasks)
+    assert out["pred_masks"].shape[-2:] == (16, 32)

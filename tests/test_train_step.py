@@ -58,7 +58,10 @@ def batches():
     return seg, seq
 
 
+@pytest.mark.slow
 def test_train_step_decreases_nothing_nan(batches):
+    """Full fused train step (compile is minutes on 1-core CPU; the driver's
+    dryrun_multichip exercises the same path on every round)."""
     seg, seq = batches
     trainer = Trainer(_micro_config())
     state = trainer.init(jax.random.PRNGKey(0), seg, seq)
@@ -75,3 +78,80 @@ def test_train_step_decreases_nothing_nan(batches):
         for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(state.params))
     )
     assert moved
+
+
+def test_fused_optimizer_matches_optax_reference():
+    """The fused bucketed AdamW must be bit-equal to the unfused optax
+    chain(clip_by_global_norm, multi_transform(adamw)) it replaces."""
+    import optax
+
+    from uni_encoder_tpu.training.train_step import make_optimizer
+
+    rng = np.random.RandomState(0)
+    params = {
+        "backbone": {
+            "kernel": jnp.asarray(rng.randn(8, 16), jnp.float32),
+            "bias": jnp.asarray(rng.randn(16), jnp.float32),
+        },
+        "predictor": {
+            "query_embed": {"embedding": jnp.asarray(rng.randn(10, 16), jnp.float32)},
+            "dense": {
+                "kernel": jnp.asarray(rng.randn(16, 16), jnp.float32),
+                "scale": jnp.asarray(rng.randn(16), jnp.float32),
+            },
+        },
+    }
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.randn(*x.shape), jnp.float32), params
+    )
+    BASE_LR, WD, MULT, CLIP, MAXIT = 1e-4, 0.05, 0.1, 0.01, 90000
+
+    def _decay_mask(params):
+        def mask(path, x):
+            name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+            if x.ndim <= 1:
+                return False
+            if "embed" in name and "patch" not in name and x.ndim == 2:
+                return False
+            return True
+
+        flat = jax.tree_util.tree_flatten_with_path(params)
+        leaves = [mask(p, x) for p, x in flat[0]]
+        return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(params), leaves)
+
+    def _lr_label(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)
+        leaves = [
+            "backbone"
+            if "backbone" in "/".join(str(getattr(q, "key", q)) for q in p).lower()
+            else "main"
+            for p, _ in flat[0]
+        ]
+        return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(params), leaves)
+
+    def schedule_for(mult):
+        return lambda step: BASE_LR * mult * (1.0 - jnp.minimum(step, MAXIT) / MAXIT) ** 0.9
+
+    ref_tx = optax.chain(
+        optax.clip_by_global_norm(CLIP),
+        optax.multi_transform(
+            {
+                "main": optax.adamw(schedule_for(1.0), weight_decay=WD, mask=_decay_mask),
+                "backbone": optax.adamw(schedule_for(MULT), weight_decay=WD, mask=_decay_mask),
+            },
+            _lr_label,
+        ),
+    )
+    fused_tx = make_optimizer(BASE_LR, WD, MULT, CLIP, MAXIT)
+
+    rs, fs = ref_tx.init(params), fused_tx.init(params)
+    p_ref = p_fused = params
+    g = grads
+    for _ in range(3):
+        ur, rs = ref_tx.update(g, rs, p_ref)
+        uf, fs = fused_tx.update(g, fs, p_fused)
+        p_ref = optax.apply_updates(p_ref, ur)
+        p_fused = optax.apply_updates(p_fused, uf)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        g = jax.tree_util.tree_map(lambda x: x * 0.7 + 0.1, g)

@@ -23,12 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# the axon sitecustomize imports jax at interpreter startup, so cache config
-# must go through jax.config (env vars set here are read too late)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+# machine-keyed persistent compile cache (CPU AOT artifacts are not
+# portable across hosts; see uni_encoder_tpu/utils/cache.py)
+from uni_encoder_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 

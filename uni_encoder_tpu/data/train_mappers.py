@@ -42,16 +42,20 @@ def color_aug_ssd(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
         img += rng.uniform(-32, 32)
     if rng.randint(2):
         img *= rng.uniform(0.5, 1.5)
-    # saturation / hue in HSV
-    if rng.randint(2) or rng.randint(2):
+    # saturation / hue in HSV — each an independent 1/2-probability coin,
+    # drawn unconditionally so RNG stream consumption is order-independent
+    # (matches d2 ColorAugSSDTransform semantics)
+    do_sat = bool(rng.randint(2))
+    do_hue = bool(rng.randint(2))
+    if do_sat or do_hue:
         import cv2
 
         hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(
             np.float32
         )
-        if rng.randint(2):
+        if do_sat:
             hsv[..., 1] *= rng.uniform(0.5, 1.5)
-        if rng.randint(2):
+        if do_hue:
             hsv[..., 0] = (hsv[..., 0] + rng.uniform(-18, 18)) % 180
         img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB).astype(
             np.float32

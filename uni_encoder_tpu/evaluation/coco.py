@@ -99,5 +99,20 @@ class COCOInstanceEvaluator(DatasetEvaluator):
                 np.asarray(gt_crowd, bool),
             )
 
+    def state(self):
+        return (dict(self.acc.entries), self.acc.n_gt)
+
+    def merge_state(self, states):
+        from collections import defaultdict
+
+        merged = defaultdict(list)
+        n_gt = 0
+        for entries, n in states:
+            for c, es in entries.items():
+                merged[c].extend(es)
+            n_gt = n_gt + n
+        self.acc.entries = merged
+        self.acc.n_gt = n_gt
+
     def evaluate(self):
         return {"segm": self.acc.summarize()}

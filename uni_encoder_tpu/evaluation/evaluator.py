@@ -2,20 +2,47 @@
 
 Capability spec: reference model/evaluation/evaluator.py (:19-228) —
 DatasetEvaluator with reset/process/evaluate, DatasetEvaluators fan-out, and
-an inference loop with periodic ETA logging. Distribution note: the
-reference gathers per-rank state via torch.distributed; here multi-host eval
-shards the dataset per process (data/build.py) and evaluators merge state on
-host 0 via jax.experimental.multihost_utils when world > 1.
+an inference loop with periodic ETA logging. Distribution: the reference
+gathers per-rank state via torch.distributed (comm.gather/synchronize);
+here multi-host eval shards the dataset per process (data/build.py
+inference_shard) and `inference_on_dataset` allgathers each evaluator's
+accumulated state across hosts (pickle -> padded uint8 arrays ->
+multihost_utils.process_allgather) before summarizing, so every host
+reports dataset-level metrics.
 """
 
 from __future__ import annotations
 
 import datetime
 import logging
+import pickle
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 logger = logging.getLogger(__name__)
+
+
+def allgather_object(obj: Any) -> List[Any]:
+    """Allgather an arbitrary picklable object across JAX processes.
+    Returns the per-process list (length jax.process_count(), this process's
+    contribution at index jax.process_index())."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.asarray([data.size], np.int64))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros((int(sizes.max()),), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(len(sizes))
+    ]
 
 
 class DatasetEvaluator:
@@ -27,6 +54,23 @@ class DatasetEvaluator:
 
     def evaluate(self) -> Optional[Dict]:
         pass
+
+    # -------------------------------------------------- multi-host merging
+    def state(self) -> Any:
+        """Picklable accumulated state (overridden by concrete evaluators)."""
+        raise NotImplementedError(type(self).__name__)
+
+    def merge_state(self, states: List[Any]) -> None:
+        """Replace this evaluator's state with the union of all shards'
+        states (self's own included)."""
+        raise NotImplementedError(type(self).__name__)
+
+    def merge_across_processes(self) -> None:
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        self.merge_state(allgather_object(self.state()))
 
 
 class DatasetEvaluators(DatasetEvaluator):
@@ -40,6 +84,13 @@ class DatasetEvaluators(DatasetEvaluator):
     def process(self, inputs, outputs):
         for e in self._evaluators:
             e.process(inputs, outputs)
+
+    def state(self):
+        return [e.state() for e in self._evaluators]
+
+    def merge_state(self, states):
+        for i, e in enumerate(self._evaluators):
+            e.merge_state([s[i] for s in states])
 
     def evaluate(self):
         results: Dict = {}
@@ -68,6 +119,9 @@ def inference_on_dataset(run_model: Callable, data_loader, evaluator: DatasetEva
             eta = datetime.timedelta(seconds=int(per_img * (total - i - 1)))
             logger.info(f"inference {i+1}/{total} ({per_img:.3f} s/img, ETA {eta})")
             last_log = now
+    # dataset was sharded per process (data/build.py); merge shard states so
+    # metrics are dataset-level (reference: comm.gather in evaluate())
+    evaluator.merge_across_processes()
     results = evaluator.evaluate()
     total_t = time.perf_counter() - start
     logger.info(f"inference done: {total} images in {total_t:.1f}s ({total / max(total_t,1e-9):.2f} img/s)")

@@ -208,24 +208,43 @@ class UniEncoder(nn.Module):
             "motion_prob": {},
         }
 
-        for frame_id, f_other, img_other, slot in (
-            (-1, f_prev, prev_images, 0),
-            (1, f_next, next_images, 1),
-        ):
-            fm = {k: jnp.concatenate([f_other[k], f_cur[k]], axis=-1) for k in f_cur}
-            axisangle, translation = self.pose_decoder(fm)
-            aa, t = axisangle[:, slot], translation[:, slot]
+        # Both neighbor pairs run through the pose/motion decoders as one
+        # 2B batch (frames stacked along batch) — one kernel set instead of
+        # two. BatchNorm train stats therefore pool both pairs; under data
+        # parallelism per-shard BN stats vary by batch composition anyway.
+        frame_specs = ((-1, f_prev, prev_images, 0), (1, f_next, next_images, 1))
+        fm2 = {
+            k: jnp.concatenate(
+                [jnp.concatenate([fo[k], f_cur[k]], axis=-1) for _, fo, _, _ in frame_specs],
+                axis=0,
+            )
+            for k in f_cur
+        }
+        axisangle, translation = self.pose_decoder(fm2)  # (2B, 2, 1, 3) each
+
+        aa_parts, t_parts = [], []
+        for i, (frame_id, _, _, slot) in enumerate(frame_specs):
+            aa = axisangle[i * B : (i + 1) * B, slot]
+            t = translation[i * B : (i + 1) * B, slot]
             outputs["cam_T_cam"][frame_id] = transformation_from_parameters(
                 aa, t, invert=(frame_id < 0)
             )
-            ego = jax.lax.stop_gradient(jnp.concatenate([t, aa], axis=-1)).reshape(B, 1, 1, 6)
-            full_res = jnp.concatenate([img_other, images], axis=-1)
-            flow = self.motion_decoder(full_res, fm, ego)
-            prob = self.motion_mask(full_res, fm, ego)
+            aa_parts.append(aa)
+            t_parts.append(t)
+        aa2 = jnp.concatenate(aa_parts, axis=0)  # (2B, 1, 3)
+        t2 = jnp.concatenate(t_parts, axis=0)
+        ego2 = jax.lax.stop_gradient(jnp.concatenate([t2, aa2], axis=-1)).reshape(2 * B, 1, 1, 6)
+
+        full_res2 = jnp.concatenate(
+            [jnp.concatenate([io, images], axis=-1) for _, _, io, _ in frame_specs], axis=0
+        )
+        flow = self.motion_decoder(full_res2, fm2, ego2)
+        prob = self.motion_mask(full_res2, fm2, ego2)
+        for i, (frame_id, _, _, _) in enumerate(frame_specs):
             for s in range(4):
-                outputs["complete_flow"][(frame_id, s)] = flow[("complete_flow", s)]
-                outputs["motion_mask"][(frame_id, s)] = prob[("motion_mask", s)]
-                outputs["motion_prob"][(frame_id, s)] = prob[("motion_prob", s)]
+                outputs["complete_flow"][(frame_id, s)] = flow[("complete_flow", s)][i * B : (i + 1) * B]
+                outputs["motion_mask"][(frame_id, s)] = prob[("motion_mask", s)][i * B : (i + 1) * B]
+                outputs["motion_prob"][(frame_id, s)] = prob[("motion_prob", s)][i * B : (i + 1) * B]
         return outputs
 
     def __call__(self, images: jnp.ndarray, task_tokens: jnp.ndarray) -> Dict:

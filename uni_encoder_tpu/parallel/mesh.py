@@ -44,32 +44,36 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec(x)), tree)
 
 
-def param_spec(path: str, x) -> P:
+def param_spec(path: str, x, min_dim: int = 1024) -> P:
     """Tensor-parallel rule: shard the big FFN / qkv kernels over the model
     axis (column-parallel on the output dim for up-projections, row-parallel
     on the input dim for down-projections); everything else replicated.
-    GSPMD inserts the matching collectives."""
-    if x.ndim == 2 and x.shape[-1] >= 1024 and x.shape[-1] % 8 == 0:
+    GSPMD inserts the matching collectives. `min_dim` sets the smallest
+    kernel width worth sharding (lowered in tests/dryruns so micro configs
+    still exercise the TP path)."""
+    if x.ndim == 2 and x.shape[-1] >= min_dim and x.shape[-1] % 8 == 0:
         return P(None, MODEL_AXIS)  # e.g. (256, 2048) FFN up / (C, 3C) qkv
-    if x.ndim == 2 and x.shape[0] >= 1024 and x.shape[0] % 8 == 0:
+    if x.ndim == 2 and x.shape[0] >= min_dim and x.shape[0] % 8 == 0:
         return P(MODEL_AXIS, None)  # FFN down
     return P()
 
 
-def shard_params(mesh: Mesh, params):
+def shard_params(mesh: Mesh, params, min_dim: int = 1024):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def put(path, x):
         name = "/".join(str(p) for p in path)
-        return jax.device_put(x, NamedSharding(mesh, param_spec(name, x)))
+        return jax.device_put(x, NamedSharding(mesh, param_spec(name, x, min_dim)))
 
     leaves = [put(p, x) for p, x in flat]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def params_shardings(mesh: Mesh, params):
-    return jax.tree_util.tree_map(lambda x: NamedSharding(mesh, param_spec("", x)), params)
+def params_shardings(mesh: Mesh, params, min_dim: int = 1024):
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, param_spec("", x, min_dim)), params
+    )
 
 
 def batch_shardings(mesh: Mesh, batch):

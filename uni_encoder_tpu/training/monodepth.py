@@ -139,98 +139,146 @@ def monodepth_loss(
     color0 = targets["color"][0]
     B, H, W, _ = color0.shape
     K, inv_K = targets["K"], targets["inv_K"]
+    S = 4
+    F = len(frame_ids)
 
     ramp = jnp.clip(3.0 * step / ramp_steps, 0.0, 1.0)
     coefs = {k: (v * ramp if k in RAMPED else v) for k, v in COEFS.items()}
 
+    # RNG consumption order matches the original per-scale formulation
+    r_noise, r_ground = [], []
+    for _ in range(S):
+        rng, rn, rg = jax.random.split(rng, 3)
+        r_noise.append(rn)
+        r_ground.append(rg)
+
+    # ---------------------------------------------------------------- warping
+    # The photometric pipeline runs at full (H, W) resolution for every
+    # (frame, scale) pair, so the F*S instances are batched into one leading
+    # axis: one backprojection, one projection, one grid_sample, one SSIM of
+    # batch F*S*B instead of F*S separate graphs. (TPU-first: fewer, larger
+    # kernels; also ~8x fewer HLO ops than the per-pair loop.)
+    disp_full = jnp.stack(
+        [
+            interpolate(outputs["disps"][s], size=(H, W), mode="bilinear", align_corners=False)
+            for s in range(S)
+        ]
+    )  # (S, B, H, W, 1)
+    _, depth = disp_to_depth(disp_full[..., 0].reshape(S * B, H, W))
+    K_s = jnp.tile(K, (S, 1, 1))
+    inv_K_s = jnp.tile(inv_K, (S, 1, 1))
+    cam_points = backproject_depth(depth, inv_K_s, H, W)  # (SB, 4, HW)
+
+    cam_f = jnp.tile(cam_points, (F, 1, 1))  # (FSB, 4, HW) ordered (F, S, B)
+    K_f = jnp.tile(K_s, (F, 1, 1))
+    T_f = jnp.concatenate(
+        [jnp.tile(outputs["cam_T_cam"][f], (S, 1, 1)) for f in frame_ids], axis=0
+    )
+    sample_ego, ego_flow = project_3d(cam_f, K_f, T_f, H, W)  # (FSB,H,W,2), (FSB,3,HW)
+
+    def _up_full(key, ch):
+        # outputs[key][(f, s)]: (B, h_s, w_s, ch) -> (F, S, B, H, W, ch)
+        return jnp.stack(
+            [
+                interpolate(
+                    jnp.concatenate([outputs[key][(f, s)] for f in frame_ids], axis=0),
+                    size=(H, W), mode="bilinear", align_corners=False,
+                ).reshape(F, B, H, W, ch)
+                for s in range(S)
+            ],
+            axis=1,
+        )
+
+    cflow_full = _up_full("complete_flow", 3).reshape(F * S * B, H, W, 3)
+    mask_full = _up_full("motion_mask", 1).reshape(F * S * B, H, W, 1)
+
+    cflow_flat = cflow_full.reshape(-1, H * W, 3).transpose(0, 2, 1)  # (FSB, 3, HW)
+    residual = cflow_flat - ego_flow
+    independ = residual * mask_full.reshape(-1, 1, H * W)
+
+    # detached complete-flow sample (reference :479-483)
+    cp_tmp = jax.lax.stop_gradient(cam_f).at[:, :3].add(cflow_flat)
+    sample_complete = jax.lax.stop_gradient(project_3d(cp_tmp, K_f, None, H, W)[0])
+    sample_ego_d = jax.lax.stop_gradient(sample_ego)
+
+    cam_points2 = cam_f.at[:, :3].add(independ)
+    sample, _ = project_3d(cam_points2, K_f, T_f, H, W)
+
+    src_stack = jnp.concatenate([targets["color"][f] for f in frame_ids], axis=0)  # (FB,...)
+    src_f = jnp.concatenate(
+        [jnp.tile(targets["color"][f], (S, 1, 1, 1)) for f in frame_ids], axis=0
+    )  # (FSB, H, W, 3)
+    color0_fs = jnp.tile(color0, (F * S, 1, 1, 1))
+
+    warped = grid_sample(src_f, sample, align_corners=True, padding_mode="border")
+    reproj = _reprojection_loss(warped, color0_fs)[..., 0].reshape(F, S, B, H, W)
+    identity = _reprojection_loss(src_stack, jnp.tile(color0, (F, 1, 1, 1)))[..., 0]
+    identity = identity.reshape(F, 1, B, H, W)
+
+    # per-scale identity noise, drawn exactly as the original (B, H, W, F)
+    noise = jnp.stack(
+        [jax.random.normal(r_noise[s], (B, H, W, F)) for s in range(S)], axis=0
+    ).transpose(4, 0, 1, 2, 3) * 1e-5  # (S,B,H,W,F) -> (F, S, B, H, W)
+    combined = jnp.concatenate([identity + noise, reproj], axis=0)  # (2F, S, B, H, W)
+    p_photo_s = combined.min(axis=0).mean(axis=(1, 2, 3))  # (S,)
+
+    residual_img = residual.transpose(0, 2, 1).reshape(F, S, B, H, W, 3)
+    sample_ego_fs = sample_ego_d.reshape(F, S, B, H, W, 2)
+    sample_complete_fs = sample_complete.reshape(F, S, B, H, W, 2)
+
+    # ------------------------------------------------- per-scale regularizers
     losses = {k: 0.0 for k in COEFS}
     total = 0.0
-
-    for scale in range(4):
-        rng, r_noise, r_ground = jax.random.split(rng, 3)
+    for scale in range(S):
         disp_s = outputs["disps"][scale]
         h, w = disp_s.shape[1:3]
-        disp_full = interpolate(disp_s, size=(H, W), mode="bilinear", align_corners=False)
-        _, depth = disp_to_depth(disp_full[..., 0])  # (B, H, W)
-
         color_s = interpolate(color0, size=(h, w), mode="bilinear", align_corners=False)
+        color_sf = jnp.tile(color_s, (F, 1, 1, 1))
 
-        reproj, identity = [], []
-        per_frame = {}
-        for f in frame_ids:
-            T = outputs["cam_T_cam"][f]
-            cam_points = backproject_depth(depth, inv_K, H, W)  # (B, 4, HW)
-            sample_ego, ego_flow = project_3d(cam_points, K, T, H, W)
-
-            cflow = interpolate(outputs["complete_flow"][(f, scale)], size=(H, W), mode="bilinear", align_corners=False)
-            cflow_flat = cflow.reshape(B, H * W, 3).transpose(0, 2, 1)  # (B, 3, HW)
-            residual = cflow_flat - ego_flow
-            mask_r = interpolate(outputs["motion_mask"][(f, scale)], size=(H, W), mode="bilinear", align_corners=False)
-            independ = residual * mask_r.reshape(B, 1, H * W)
-
-            # detached complete-flow sample (reference :479-483)
-            cp_tmp = jax.lax.stop_gradient(cam_points).at[:, :3].add(cflow_flat)
-            sample_complete, _ = project_3d(cp_tmp, K, None, H, W)
-            sample_complete = jax.lax.stop_gradient(sample_complete)
-            sample_ego_d = jax.lax.stop_gradient(sample_ego)
-
-            cam_points2 = backproject_depth(depth, inv_K, H, W).at[:, :3].add(independ)
-            sample, _ = project_3d(cam_points2, K, T, H, W)
-
-            src = targets["color"][f]
-            warped = grid_sample(src, sample, align_corners=True, padding_mode="border")
-            reproj.append(_reprojection_loss(warped, color0))
-            identity.append(_reprojection_loss(src, color0))
-
-            per_frame[f] = dict(
-                residual_s=interpolate(
-                    residual.transpose(0, 2, 1).reshape(B, H, W, 3), size=(h, w),
-                    mode="bilinear", align_corners=False,
-                ),
-                sample_ego=sample_ego_d,
-                sample_complete=sample_complete,
-            )
-
-        # --- photometric with automask
-        reproj = jnp.concatenate(reproj, axis=-1)  # (B, H, W, F)
-        identity = jnp.concatenate(identity, axis=-1)
-        identity = identity + jax.random.normal(r_noise, identity.shape) * 1e-5
-        combined = jnp.concatenate([identity, reproj], axis=-1)
-        to_optimise = combined.min(axis=-1)
         losses_ps = {k: 0.0 for k in COEFS}
-        losses_ps["p_photo"] = to_optimise.mean()
+        losses_ps["p_photo"] = p_photo_s[scale]
 
         # --- disparity regularization
         norm_disp = disp_s / (disp_s.mean(axis=(1, 2), keepdims=True) + 1e-7)
         losses_ps["d_smooth"] = compute_smooth_loss(norm_disp, color_s) / (2 ** scale)
-        losses_ps["d_ground"] = _ground_term(r_ground, disp_s, inv_K, h, w) / (2 ** scale)
+        losses_ps["d_ground"] = _ground_term(r_ground[scale], disp_s, inv_K, h, w) / (2 ** scale)
 
-        # --- motion regularization
-        nf = len(frame_ids)
-        for f in frame_ids:
-            mask_s = outputs["motion_mask"][(f, scale)]
-            prob_s = outputs["motion_prob"][(f, scale)]
-            cflow_s = outputs["complete_flow"][(f, scale)]
-            residual_s = per_frame[f]["residual_s"]
+        # --- motion regularization, frames stacked along batch; equal-size
+        # stacked means equal the original (1/nf) * sum_f of per-frame means
+        mask_s = jnp.concatenate([outputs["motion_mask"][(f, scale)] for f in frame_ids], axis=0)
+        prob_s = jnp.concatenate([outputs["motion_prob"][(f, scale)] for f in frame_ids], axis=0)
+        cflow_s = jnp.concatenate([outputs["complete_flow"][(f, scale)] for f in frame_ids], axis=0)
+        residual_s = interpolate(
+            residual_img[:, scale].reshape(F * B, H, W, 3), size=(h, w),
+            mode="bilinear", align_corners=False,
+        )
 
-            losses_ps["c_smooth"] += compute_smooth_loss(cflow_s, color_s) / (2 ** scale) / nf
+        losses_ps["c_smooth"] = compute_smooth_loss(cflow_s, color_sf) / (2 ** scale)
 
-            valid_disp = jax.lax.stop_gradient(disp_s > mask_disp_threshold)
-            losses_ps["c_consistency"] += jnp.mean(
-                valid_disp * (1 - jax.lax.stop_gradient(mask_s)) * jnp.abs(residual_s)
-            ) / (2 ** scale) / nf
+        valid_disp = jax.lax.stop_gradient(jnp.tile(disp_s, (F, 1, 1, 1)) > mask_disp_threshold)
+        losses_ps["c_consistency"] = jnp.mean(
+            valid_disp * (1 - jax.lax.stop_gradient(mask_s)) * jnp.abs(residual_s)
+        ) / (2 ** scale)
 
-            se = interpolate(per_frame[f]["sample_ego"], size=(h, w), mode="bilinear", align_corners=False)
-            sc = interpolate(per_frame[f]["sample_complete"], size=(h, w), mode="bilinear", align_corners=False)
-            disp_mag = jnp.sum((se - sc) ** 2, axis=-1)  # (B, h, w)
-            static = (disp_mag < disp_mag.mean())[..., None]
-            n_static = static.sum()
-            # BCEWithLogits(prob, 0) == softplus(prob); masked mean over static px
-            bce = (jax.nn.softplus(prob_s) * static).sum() / jnp.maximum(n_static, 1)
-            all_have_static = jnp.all(static.sum(axis=(1, 2, 3)) > 0)
-            losses_ps["m_sparsity"] += jnp.where(all_have_static, 3.0 * bce, 0.0) / (2 ** scale) / nf
+        se = interpolate(
+            sample_ego_fs[:, scale].reshape(F * B, H, W, 2), size=(h, w),
+            mode="bilinear", align_corners=False,
+        )
+        sc = interpolate(
+            sample_complete_fs[:, scale].reshape(F * B, H, W, 2), size=(h, w),
+            mode="bilinear", align_corners=False,
+        )
+        disp_mag = jnp.sum((se - sc) ** 2, axis=-1).reshape(F, B, h, w)
+        static = disp_mag < disp_mag.mean(axis=(1, 2, 3), keepdims=True)  # per-frame mean
+        n_static = static.sum(axis=(1, 2, 3))  # (F,)
+        # BCEWithLogits(prob, 0) == softplus(prob); masked mean over static px
+        bce = (jax.nn.softplus(prob_s[..., 0]).reshape(F, B, h, w) * static).sum(
+            axis=(1, 2, 3)
+        ) / jnp.maximum(n_static, 1)
+        all_have_static = jnp.all(static.sum(axis=(2, 3)) > 0, axis=1)  # (F,)
+        losses_ps["m_sparsity"] = jnp.where(all_have_static, 3.0 * bce, 0.0).mean() / (2 ** scale)
 
-            losses_ps["m_smooth"] += compute_smooth_loss(mask_s, color_s) / (2 ** scale) / nf
+        losses_ps["m_smooth"] = compute_smooth_loss(mask_s, color_sf) / (2 ** scale)
 
         scale_total = 0.0
         for k in COEFS:

@@ -1,0 +1,49 @@
+"""Persistent-compile-cache setup, keyed by machine fingerprint.
+
+JAX's persistent compilation cache stores CPU AOT artifacts whose generated
+code depends on the *host CPU's* feature set (AVX variants etc.), but the
+cache key does not include those features. A cache written on one machine
+can therefore poison runs on another (cpu_aot_loader "+prefer-no-gather is
+not supported on the host machine"). Fix: place each machine's entries in a
+subdirectory keyed by a fingerprint of the CPU, so a foreign machine sees an
+empty cache instead of unloadable artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def machine_key() -> str:
+    """Short fingerprint of this host's CPU (ISA features + core count)."""
+    txt = platform.machine() + "\0" + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    txt += "\0" + line.strip()
+                    break
+    except OSError:
+        pass
+    txt += "\0" + str(os.cpu_count())
+    import jax
+
+    txt += "\0" + jax.__version__
+    return hashlib.sha1(txt.encode()).hexdigest()[:12]
+
+
+def setup_compile_cache(repo_root: str | None = None) -> str:
+    """Point jax's persistent compile cache at a machine-keyed subdir of
+    <repo>/.jax_cache. Safe to call multiple times. Returns the dir."""
+    import jax
+
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    d = os.path.join(repo_root, ".jax_cache", machine_key())
+    os.makedirs(d, exist_ok=True)
+    # the axon sitecustomize imports jax at interpreter startup, so env vars
+    # are read too late; jax.config is the reliable path.
+    jax.config.update("jax_compilation_cache_dir", d)
+    return d
