@@ -106,12 +106,22 @@ def main():
     assert np.isfinite(r0[2]).all(), "non-finite instance scores"
     jax.block_until_ready(dep_step(variables, dep_img, prev_img))
 
+    # NOTE: through the remote-TPU tunnel, jax.block_until_ready can be a
+    # no-op; materializing a small leaf on host is the reliable fence.
+    def fence(r, d):
+        np.asarray(r[2])
+        np.asarray(d[3])
+
+    r = seg_step(variables, seg_img, tasks)
+    d = dep_step(variables, dep_img, prev_img)
+    fence(r, d)
+
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         r = seg_step(variables, seg_img, tasks)
         d = dep_step(variables, dep_img, prev_img)
-    jax.block_until_ready((r, d))
+    fence(r, d)  # drains the queue: all iterations complete before the stop
     dt = (time.perf_counter() - t0) / iters
 
     img_per_s = 1.0 / dt

@@ -44,8 +44,20 @@ def ms_deform_attn(
 ) -> jnp.ndarray:
     """TPU-optimized formulation: one 2x2xD patch-gather per (level, point)
     from zero-padded maps — the padding realizes grid_sample's zero padding
-    exactly and keeps every gather slice contiguous (4x fewer, wider gathers
-    than the naive per-corner version kept below as ms_deform_attn_corners)."""
+    exactly and keeps every gather slice contiguous.
+
+    Two measured facts on TPU v5e shape the design (see BASELINE.md):
+      1. gathers are slice-count-bound, so the whole 2x2 bilinear footprint
+         is packed into ONE (1, 4D)-channel slice: the zero-padded map
+         concatenated with its x+1, y+1, (y+1,x+1) shifts along channels;
+      2. gather throughput is ~3.2 ns/slice when the gathered table fits in
+         VMEM (XLA stages it) and ~12-13 ns/slice when it does not — so the
+         (B*M)-batched single gather (68 MB table at production shapes) is
+         replaced with B*M sequential per-head gathers whose 8.5 MB tables
+         each stay VMEM-resident (3.5x faster end to end).
+    The per-head unroll is used for small B*M (inference); large-batch
+    training falls back to the batched gather to bound op count.
+    """
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert len(spatial_shapes) == L
@@ -54,18 +66,16 @@ def ms_deform_attn(
     orig_dtype = value.dtype
     sampling_locations = sampling_locations.astype(jnp.float32)
     attention_weights = attention_weights.astype(jnp.float32)
+    unroll_heads = B * M <= 16
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
 
     out = jnp.zeros((B, M, Lq, D), jnp.float32)
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         HW = H * W
-        # TPU gathers are slice-count-bound (~5M slices/s), so pack the whole
-        # 2x2 bilinear footprint into ONE single-row 4D-channel gather slice:
-        # store the zero-padded map concatenated with its x+1, y+1 and
-        # (y+1,x+1) shifts along channels ((H+1)*(W+1), 4D). A (1, 4D) slice
-        # at flat (y0, x0) fetches all 4 corners in one 128-lane row.
-        # (4x value memory for ~10x fewer/wider slices than the naive
-        # per-corner form — see BASELINE.md perf log.)
         v = jnp.transpose(value[:, start : start + HW], (0, 2, 1, 3))
         v = v.reshape(B * M, H, W, D)
         v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -93,16 +103,6 @@ def ms_deform_attn(
         iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
         lin = bm(iy) * (W + 1) + bm(ix)  # (B*M, LqP) flat start of (y0, x0)
 
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-        )
-        quads = jax.vmap(
-            lambda vm, im: jax.lax.gather(
-                vm, im, dnums, slice_sizes=(1, 4 * D),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )
-        )(v, lin[..., None])  # (B*M, LqP, 4D = [y0x0, y0x1, y1x0, y1x1])
-
         wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
         wyb = jnp.transpose(wy, (0, 2, 1, 3))
         wlb = jnp.transpose(w_l, (0, 2, 1, 3))
@@ -115,12 +115,43 @@ def ms_deform_attn(
             wyb * (1 - wxb),
             wyb * wxb,
         )
-        quads = quads.reshape(B, M, Lq, P, 4 * D)
-        acc = jnp.zeros((B, M, Lq, D), jnp.float32)
-        for c in range(4):
-            w_c = (corner_w[c] * wlb).astype(quads.dtype)
-            term = quads[..., c * D : (c + 1) * D] * w_c[..., None]
-            acc = acc + jnp.sum(term.astype(jnp.float32), axis=3)
+
+        if unroll_heads:
+            # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
+            # production shapes -> VMEM-staged by XLA (~3.2 ns/slice).
+            # The weighted reduction runs inside the per-head loop so the
+            # (LqP, 4D) gather output fuses into its consumer instead of
+            # being stacked/materialized in HBM.
+            cw = [c.reshape(B, M, Lq, P) for c in corner_w]
+            wl2 = wlb.reshape(B, M, Lq, P)
+            acc_heads = []
+            for i in range(B * M):
+                b, m = divmod(i, M)
+                g = jax.lax.gather(
+                    v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )  # (LqP, 4D)
+                g = g.reshape(Lq, P, 4 * D)
+                a = jnp.zeros((Lq, D), jnp.float32)
+                for c in range(4):
+                    w_c = (cw[c][b, m] * wl2[b, m]).astype(g.dtype)  # (Lq, P)
+                    term = g[..., c * D : (c + 1) * D] * w_c[..., None]
+                    a = a + jnp.sum(term.astype(jnp.float32), axis=1)
+                acc_heads.append(a)
+            acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
+        else:
+            quads = jax.vmap(
+                lambda vm, im: jax.lax.gather(
+                    vm, im, dnums, slice_sizes=(1, 4 * D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )
+            )(v, lin[..., None])
+            quads = quads.reshape(B, M, Lq, P, 4 * D)
+            acc = jnp.zeros((B, M, Lq, D), jnp.float32)
+            for c in range(4):
+                w_c = (corner_w[c] * wlb).astype(quads.dtype)
+                term = quads[..., c * D : (c + 1) * D] * w_c[..., None]
+                acc = acc + jnp.sum(term.astype(jnp.float32), axis=3)
         out = out + acc
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
