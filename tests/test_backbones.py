@@ -69,3 +69,31 @@ def test_neighborhood_attention_matches_bruteforce(dilation):
     ours = np.asarray(neighborhood_attention_2d(q, k, v, rpb, kernel, dilation))
     ref = _nat_reference(q, k, v, rpb, kernel, dilation)
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_drop_path_train_stochastic_eval_identity():
+    """drop_path_rate must be a real knob (reference swin.py:148-152):
+    stochastic across rngs in train mode, exact identity in eval mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uni_encoder_tpu.models.backbones.swin import SwinTransformer
+
+    kw = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+              drop_path_rate=0.5)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+
+    train_m = SwinTransformer(**kw, deterministic=False)
+    variables = train_m.init(
+        {"params": jax.random.PRNGKey(0), "drop_path": jax.random.PRNGKey(1)}, x
+    )
+    o1 = train_m.apply(variables, x, rngs={"drop_path": jax.random.PRNGKey(2)})
+    o2 = train_m.apply(variables, x, rngs={"drop_path": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(o1["res5"]), np.asarray(o2["res5"]))
+
+    eval_m = SwinTransformer(**kw, deterministic=True)
+    zero_m = SwinTransformer(**{**kw, "drop_path_rate": 0.0}, deterministic=True)
+    oe = eval_m.apply(variables, x)
+    oz = zero_m.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(oe["res5"]), np.asarray(oz["res5"]))

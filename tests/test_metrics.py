@@ -90,3 +90,29 @@ def test_ap_crowd_ignored():
     res = acc.summarize()
     # only crowd GT: no countable GT -> class skipped entirely
     assert res["AP"] == 0.0 and acc.n_gt[0] == 0
+
+
+def test_exact_ap_sweep_hand_computed():
+    """Exact (non-interpolated) PR sweep: 2 GT, preds = [perfect match at
+    score .9, miss at score .8] => AP = 0.5*1.0 + 0*0.5 = 50.0 at every IoU
+    threshold; GT-as-prediction scores 100."""
+    import numpy as np
+
+    from uni_encoder_tpu.evaluation.metrics import APAccumulator
+
+    g1 = np.zeros((16, 16), bool); g1[0:4, 0:4] = True
+    g2 = np.zeros((16, 16), bool); g2[8:12, 8:12] = True
+    p_miss = np.zeros((16, 16), bool); p_miss[12:16, 0:4] = True
+
+    acc = APAccumulator(1, interpolation="exact")
+    acc.update([g1.copy(), p_miss], np.array([0, 0]), np.array([0.9, 0.8]),
+               [g1, g2], np.array([0, 0]), np.array([False, False]))
+    out = acc.summarize()
+    assert abs(out["AP"] - 50.0) < 1e-9, out
+    assert abs(out["AP50"] - 50.0) < 1e-9, out
+
+    acc2 = APAccumulator(1, interpolation="exact")
+    acc2.update([g1.copy(), g2.copy()], np.array([0, 0]), np.array([0.9, 0.8]),
+                [g1, g2], np.array([0, 0]), np.array([False, False]))
+    out2 = acc2.summarize()
+    assert abs(out2["AP"] - 100.0) < 1e-9, out2

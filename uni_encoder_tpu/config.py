@@ -48,7 +48,7 @@ class ResNetConfig:
 class ConvNeXtConfig:
     depths: Tuple[int, ...] = (3, 3, 9, 3)
     dims: Tuple[int, ...] = (96, 192, 384, 768)
-    drop_path_rate: float = 0.0
+    drop_path_rate: float = 0.4  # reference config.py:250 (training-only)
     layer_scale_init_value: float = 1e-6
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
 
@@ -66,6 +66,7 @@ class DiNATConfig:
         (1, 1, 1, 1, 1),
     )
     mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.2  # reference config.py:229 (training-only)
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
 
 

@@ -126,6 +126,7 @@ class VisualizationDemo:
         if task in ("instance", "panoptic") and "instances" in seg:
             inst = seg["instances"]
             outputs["instance"] = vis.draw_instances(
-                image, inst["masks"], inst["labels"], inst["scores"]
+                image, inst["masks"], inst["labels"], inst["scores"],
+                boxes=inst.get("boxes"),
             )
         return outputs

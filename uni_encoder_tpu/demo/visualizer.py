@@ -3,8 +3,9 @@
 Capability spec: reference demo/visualizer.py + demo/colormap.py (a 1.4k-line
 detectron2 visualizer fork). This compact equivalent renders the same demo
 artifacts: semantic overlays from the class palette, panoptic segments
-(stuff + instance-shaded things with boundaries), instance overlays with
-scores, magma-colormapped disparity, and HSV flow images.
+(stuff + instance-shaded things with boundaries and class-name labels),
+instance overlays with class-name + score text labels and boxes,
+magma-colormapped disparity, and HSV flow images.
 """
 
 from __future__ import annotations
@@ -34,8 +35,34 @@ def draw_sem_seg(image: np.ndarray, sem_seg: np.ndarray, alpha: float = 0.5) -> 
     return overlay(image, colors, alpha)
 
 
+def _draw_text(image: np.ndarray, text: str, xy: Tuple[int, int]) -> np.ndarray:
+    """Render `text` with its top-left at xy (PIL default font, white on a
+    dark backing box — the reference visualizer's label style,
+    demo/visualizer.py draw_text)."""
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(image)
+    draw = ImageDraw.Draw(pil)
+    x, y = int(xy[0]), int(xy[1])
+    bbox = draw.textbbox((x, y), text)
+    draw.rectangle(bbox, fill=(0, 0, 0))
+    draw.text((x, y), text, fill=(255, 255, 255))
+    return np.array(pil)  # writable copy
+
+
+def _mask_label_anchor(mask: np.ndarray) -> Optional[Tuple[int, int]]:
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return None
+    return int(np.median(xs)), int(np.median(ys))
+
+
 def draw_panoptic(
-    image: np.ndarray, panoptic_seg: np.ndarray, segments_info: List[Dict], alpha: float = 0.5
+    image: np.ndarray,
+    panoptic_seg: np.ndarray,
+    segments_info: List[Dict],
+    alpha: float = 0.5,
+    draw_labels: bool = True,
 ) -> np.ndarray:
     rng = np.random.RandomState(42)
     colors = np.zeros((*panoptic_seg.shape, 3), np.uint8)
@@ -51,6 +78,13 @@ def draw_panoptic(
     edges[:-1] |= panoptic_seg[:-1] != panoptic_seg[1:]
     edges[:, :-1] |= panoptic_seg[:, :-1] != panoptic_seg[:, 1:]
     out[edges] = 255
+    if draw_labels:
+        for seg in segments_info:
+            anchor = _mask_label_anchor(panoptic_seg == seg["id"])
+            if anchor is None:
+                continue
+            name = CLASS_NAMES[seg["category_id"] % len(CLASS_NAMES)]
+            out = _draw_text(out, name, anchor)
     return out
 
 
@@ -61,10 +95,13 @@ def draw_instances(
     scores: np.ndarray,
     alpha: float = 0.5,
     score_threshold: float = 0.5,
+    boxes: Optional[np.ndarray] = None,
+    draw_labels: bool = True,
 ) -> np.ndarray:
     rng = np.random.RandomState(7)
     colors = np.zeros((*image.shape[:2], 3), np.uint8)
-    for i in np.argsort(scores):
+    order = np.argsort(scores)
+    for i in order:
         if scores[i] < score_threshold:
             continue
         base = np.asarray(PALETTE[int(labels[i]) % len(PALETTE)], np.float32)
@@ -73,6 +110,21 @@ def draw_instances(
     covered = colors.any(-1)
     out = image.copy()
     out[covered] = overlay(image, colors, alpha)[covered]
+    for i in order[::-1]:
+        if scores[i] < score_threshold:
+            continue
+        m = np.asarray(masks[i], bool)
+        if boxes is not None:
+            x0, y0, x1, y1 = [int(v) for v in boxes[i]]
+            out[y0:y1 + 1, x0:x0 + 1] = 255
+            out[y0:y1 + 1, x1:x1 + 1] = 255
+            out[y0:y0 + 1, x0:x1 + 1] = 255
+            out[y1:y1 + 1, x0:x1 + 1] = 255
+        if draw_labels:
+            anchor = _mask_label_anchor(m)
+            if anchor is not None:
+                name = CLASS_NAMES[int(labels[i]) % len(CLASS_NAMES)]
+                out = _draw_text(out, f"{name} {float(scores[i]):.0%}", anchor)
     return out
 
 

@@ -127,7 +127,9 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
         self.thing_index = {t: i for i, t in enumerate(sorted(self.thing_set))}
 
     def reset(self):
-        self.acc = APAccumulator(len(self.thing_index))
+        # exact confidence sweep (cityscapesscripts protocol), not COCO's
+        # 101-point interpolation
+        self.acc = APAccumulator(len(self.thing_index), interpolation="exact")
 
     def _gt_instances(self, path):
         ids = np.asarray(Image.open(path))

@@ -11,10 +11,13 @@ directly from their public definitions:
   * PQ (Kirillov et al.): segments match iff same class and IoU > 0.5 where
     IoU excludes void; unmatched predictions with > 50% void overlap are not
     counted as FP; PQ = sum(IoU_TP) / (|TP| + |FP|/2 + |FN|/2), with SQ/RQ.
-  * AP: COCO-style instance mask AP averaged over IoU 0.50:0.05:0.95 and
-    AP50, with crowd/ignore-region handling (cityscapesscripts' protocol
-    shares the same matching rule; it differs only in using the exact
-    score sweep rather than 101-point interpolation).
+  * AP: instance mask AP averaged over IoU 0.50:0.05:0.95 and AP50, with
+    crowd/ignore-region handling. Two score sweeps are available:
+    "exact" (default for the Cityscapes evaluator) — the non-interpolated
+    area under the exact precision-recall curve, AP = sum_k (R_k - R_{k-1})
+    * P_k over the score-sorted prediction prefix sweep, matching the
+    cityscapesscripts protocol of sweeping every confidence threshold —
+    and "coco101", COCO's 101-point interpolated variant.
 """
 
 from __future__ import annotations
@@ -191,8 +194,10 @@ class APAccumulator:
 
     IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 
-    def __init__(self, num_classes: int):
+    def __init__(self, num_classes: int, interpolation: str = "coco101"):
+        assert interpolation in ("coco101", "exact")
         self.num_classes = num_classes
+        self.interpolation = interpolation
         # per class: list of (score, is_match_at_each_threshold (T,), ignored)
         self.entries = defaultdict(list)
         self.n_gt = np.zeros(num_classes, np.int64)
@@ -266,15 +271,21 @@ class APAccumulator:
                 ctp, cfp = np.cumsum(tp), np.cumsum(fp)
                 recall = ctp / self.n_gt[c]
                 precision = ctp / np.maximum(ctp + cfp, 1)
-                # 101-point interpolation
-                prec_interp = np.maximum.accumulate(precision[::-1])[::-1]
-                rs = np.linspace(0, 1, 101)
-                p_at_r = np.zeros_like(rs)
-                for k, r in enumerate(rs):
-                    inds = np.searchsorted(recall, r, side="left")
-                    if inds < len(prec_interp):
-                        p_at_r[k] = prec_interp[inds]
-                aps.append(p_at_r.mean())
+                if self.interpolation == "exact":
+                    # exact sweep: area under the exact PR curve, rectangle
+                    # rule with the precision at each recall step
+                    dr = np.diff(np.concatenate([[0.0], recall]))
+                    aps.append(float(np.sum(dr * precision)))
+                else:
+                    # COCO 101-point interpolation
+                    prec_interp = np.maximum.accumulate(precision[::-1])[::-1]
+                    rs = np.linspace(0, 1, 101)
+                    p_at_r = np.zeros_like(rs)
+                    for k, r in enumerate(rs):
+                        inds = np.searchsorted(recall, r, side="left")
+                        if inds < len(prec_interp):
+                            p_at_r[k] = prec_interp[inds]
+                    aps.append(p_at_r.mean())
             ap_per_class.append(float(np.mean(aps)))
             ap50_per_class.append(float(aps[0]))
         ap = 100 * float(np.mean(ap_per_class)) if ap_per_class else 0.0

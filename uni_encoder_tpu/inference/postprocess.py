@@ -143,10 +143,15 @@ def instance_inference(
     binf = bin_masks.astype(jnp.float32)
     mask_scores = (sig * binf).sum(axis=(1, 2)) / (binf.sum(axis=(1, 2)) + 1e-6)
 
+    from ..utils.misc import masks_to_boxes
+
     return {
         "scores": scores_per_image * mask_scores,
         "labels": labels_per_image.astype(jnp.int32),
         "masks": bin_masks,
+        # xyxy boxes from the binary masks (reference attaches pred_boxes to
+        # Instances, oneformer_model.py:435-489 / BitMasks.get_bounding_boxes)
+        "boxes": masks_to_boxes(bin_masks),
         "query_indices": q_indices.astype(jnp.int32),
     }
 

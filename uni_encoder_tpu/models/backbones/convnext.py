@@ -15,12 +15,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .. import BACKBONES
-from ..layers import gelu
+from ..layers import gelu, drop_path
 
 
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init_value: float = 1e-6
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -37,6 +39,9 @@ class ConvNeXtBlock(nn.Module):
                 "gamma", nn.initializers.constant(self.layer_scale_init_value), (self.dim,)
             )
             x = gamma * x
+        # stochastic depth on the residual (reference convnext.py:31-44)
+        if not self.deterministic and self.drop_path_rate > 0.0:
+            x = drop_path(x, self.drop_path_rate, False, self.make_rng("drop_path"))
         return shortcut + x
 
 
@@ -46,6 +51,8 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     layer_scale_init_value: float = 1e-6
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
 
     @property
     def out_channels(self):
@@ -53,7 +60,11 @@ class ConvNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import numpy as np
+
         outs = {}
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        blk = 0
         for i, depth in enumerate(self.depths):
             if i == 0:
                 x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), padding="VALID", name="stem_conv")(x)
@@ -63,8 +74,11 @@ class ConvNeXt(nn.Module):
                 x = nn.Conv(self.dims[i], (2, 2), strides=(2, 2), padding="VALID", name=f"downsample_{i}_conv")(x)
             for j in range(depth):
                 x = ConvNeXtBlock(
-                    self.dims[i], self.layer_scale_init_value, name=f"stages_{i}_blocks_{j}"
+                    self.dims[i], self.layer_scale_init_value,
+                    drop_path_rate=float(dpr[blk]), deterministic=self.deterministic,
+                    name=f"stages_{i}_blocks_{j}"
                 )(x)
+                blk += 1
             if i in self.out_indices:
                 outs[f"res{i+2}"] = nn.LayerNorm(epsilon=1e-6, name=f"out_norm{i}")(x)
         return outs

@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from .. import BACKBONES
 from ...ops.neighborhood_attention import neighborhood_attention_2d
-from ..layers import gelu
+from ..layers import gelu, drop_path
 
 
 class NeighborhoodAttention2D(nn.Module):
@@ -52,6 +52,13 @@ class NATLayer(nn.Module):
     kernel_size: int = 7
     dilation: int = 1
     mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
+
+    def _drop_path(self, z):
+        if self.deterministic or self.drop_path_rate == 0.0:
+            return z
+        return drop_path(z, self.drop_path_rate, False, self.make_rng("drop_path"))
 
     @nn.compact
     def __call__(self, x):
@@ -59,12 +66,12 @@ class NATLayer(nn.Module):
         y = NeighborhoodAttention2D(
             self.dim, self.num_heads, self.kernel_size, self.dilation, name="attn"
         )(y)
-        x = x + y
+        x = x + self._drop_path(y)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
         y = gelu(y)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
-        return x + y
+        return x + self._drop_path(y)
 
 
 @BACKBONES.register(name="dinat")
@@ -76,6 +83,8 @@ class DiNAT(nn.Module):
     dilations: Optional[Tuple[Tuple[int, ...], ...]] = None
     mlp_ratio: float = 3.0
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
 
     @property
     def out_channels(self):
@@ -89,6 +98,10 @@ class DiNAT(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="tokenizer_norm")(x)
 
         outs = {}
+        import numpy as np
+
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        blk = 0
         for i, depth in enumerate(self.depths):
             dim = int(self.embed_dim * 2 ** i)
             for j in range(depth):
@@ -99,8 +112,11 @@ class DiNAT(nn.Module):
                     kernel_size=self.kernel_size,
                     dilation=dil,
                     mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=float(dpr[blk]),
+                    deterministic=self.deterministic,
                     name=f"levels_{i}_blocks_{j}",
                 )(x)
+                blk += 1
             if i in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x)
                 outs[f"res{i+2}"] = out

@@ -27,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from .. import BACKBONES
-from ..layers import gelu
+from ..layers import drop_path, gelu
 
 
 @functools.lru_cache(maxsize=32)
@@ -85,22 +85,21 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_mask) -> jnp.ndarray:
-        # x: (B_, N, C); attn_mask: None or (nW, N, N) additive, B_ = B*nW
+    def __call__(self, x: jnp.ndarray, attn_mask, fused_geom=None) -> jnp.ndarray:
+        # x: (B_, N, C); attn_mask: None or (nW, N, N) additive, B_ = B*nW.
+        # fused_geom: optional (Hp, Wp, shift) — enables the fused Pallas
+        # window-attention kernel on TPU (ops/pallas_swin.py), numerically
+        # equivalent to the XLA path below.
         B_, N, C = x.shape
         H = self.num_heads
         Dh = C // H
         scale = Dh ** -0.5
 
         qkv_kernel = self.param("qkv_kernel", nn.initializers.xavier_uniform(), (C, 3 * C))
-        qkv = x @ qkv_kernel
         if self.qkv_bias:
-            qkv = qkv + self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
-        qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-
+            qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
+        else:
+            qkv_b = jnp.zeros((3 * C,), x.dtype)
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.normal(0.02),
@@ -108,6 +107,27 @@ class WindowAttention(nn.Module):
         )
         idx = _relative_position_index(self.window, self.window).reshape(-1)
         rel_bias = bias_table[idx].reshape(N, N, H).transpose(2, 0, 1)  # H, N, N
+        out_kernel = self.param("proj_kernel", nn.initializers.xavier_uniform(), (C, C))
+        out_bias = self.param("proj_bias", nn.initializers.zeros, (C,))
+
+        if fused_geom is not None and jax.default_backend() == "tpu":
+            from ...ops.pallas_swin import window_attention_fused, window_mask_ids
+
+            hp, wp, shift = fused_geom
+            nW = (hp // self.window) * (wp // self.window)
+            mids = jnp.asarray(
+                np.tile(window_mask_ids(hp, wp, self.window), B_ // nW)
+            )
+            return window_attention_fused(
+                x, qkv_kernel, qkv_b, out_kernel, out_bias, rel_bias, mids,
+                self.window, H, shift,
+            )
+
+        qkv = x @ qkv_kernel + qkv_b
+        qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
         attn = attn + rel_bias[None]
 
         if attn_mask is not None:
@@ -117,8 +137,6 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
-        out_kernel = self.param("proj_kernel", nn.initializers.xavier_uniform(), (C, C))
-        out_bias = self.param("proj_bias", nn.initializers.zeros, (C,))
         return out @ out_kernel + out_bias
 
 
@@ -129,6 +147,14 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
+    use_pallas_attention: bool = False
+
+    def _drop_path(self, z):
+        if self.deterministic or self.drop_path_rate == 0.0:
+            return z
+        return drop_path(z, self.drop_path_rate, False, self.make_rng("drop_path"))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -151,7 +177,16 @@ class SwinBlock(nn.Module):
             mask = None
 
         xw = window_partition(x, ws)
-        xw = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias, name="attn")(xw, mask)
+        # NOTE: the fused Pallas window-attention kernel (ops/pallas_swin.py)
+        # wins in isolation (e.g. 6.3 -> 3.9 ms at stage-1 1024x2048 shapes)
+        # but loses ~10 ms end-to-end because the custom call is a fusion
+        # barrier for the surrounding LN/pad/roll/partition chain — XLA's
+        # cross-op fusion beats the kernel here. Kept available via
+        # use_pallas_attention for future Mosaic revisions.
+        xw = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias, name="attn")(
+            xw, mask,
+            fused_geom=(Hp, Wp, self.shift) if self.use_pallas_attention else None,
+        )
         x = window_reverse(xw, ws, Hp, Wp)
 
         if self.shift > 0:
@@ -159,13 +194,15 @@ class SwinBlock(nn.Module):
         if pad_b or pad_r:
             x = x[:, :H, :W]
 
-        x = shortcut + x
+        # stochastic depth on both residual branches (reference
+        # swin.py:148-152 applies timm DropPath with a per-block rate)
+        x = shortcut + self._drop_path(x)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(C * self.mlp_ratio)
         y = nn.Dense(hidden, name="mlp_fc1")(y)
         y = gelu(y)
         y = nn.Dense(C, name="mlp_fc2")(y)
-        return x + y
+        return x + self._drop_path(y)
 
 
 class PatchMerging(nn.Module):
@@ -198,6 +235,8 @@ class SwinTransformer(nn.Module):
     qkv_bias: bool = True
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    drop_path_rate: float = 0.0  # linspace schedule over all blocks (train)
+    deterministic: bool = True
 
     @property
     def out_channels(self):
@@ -216,6 +255,9 @@ class SwinTransformer(nn.Module):
 
         outs = {}
         num_layers = len(self.depths)
+        total_blocks = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, total_blocks)
+        blk = 0
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             for j in range(self.depths[i]):
@@ -226,8 +268,11 @@ class SwinTransformer(nn.Module):
                     shift=0 if j % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
+                    drop_path_rate=float(dpr[blk]),
+                    deterministic=self.deterministic,
                     name=f"layers_{i}_blocks_{j}",
                 )(x)
+                blk += 1
             if i in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x)
                 outs[f"res{i+2}"] = out

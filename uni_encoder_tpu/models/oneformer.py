@@ -48,6 +48,8 @@ def build_backbone(cfg: ModelConfig) -> nn.Module:
             mlp_ratio=c.mlp_ratio,
             qkv_bias=c.qkv_bias,
             patch_norm=c.patch_norm,
+            drop_path_rate=c.drop_path_rate,
+            deterministic=not cfg.is_train,
             name="backbone",
         )
     if name == "resnet":
@@ -65,7 +67,14 @@ def build_backbone(cfg: ModelConfig) -> nn.Module:
         from .backbones.convnext import ConvNeXt
 
         c = cfg.backbone.convnext
-        return ConvNeXt(depths=c.depths, dims=c.dims, name="backbone")
+        return ConvNeXt(
+            depths=c.depths,
+            dims=c.dims,
+            layer_scale_init_value=c.layer_scale_init_value,
+            drop_path_rate=c.drop_path_rate,
+            deterministic=not cfg.is_train,
+            name="backbone",
+        )
     if name == "dinat":
         from .backbones.dinat import DiNAT
 
@@ -77,6 +86,8 @@ def build_backbone(cfg: ModelConfig) -> nn.Module:
             kernel_size=c.kernel_size,
             dilations=c.dilations,
             mlp_ratio=c.mlp_ratio,
+            drop_path_rate=c.drop_path_rate,
+            deterministic=not cfg.is_train,
             name="backbone",
         )
     raise ValueError(f"unknown backbone {name!r}")

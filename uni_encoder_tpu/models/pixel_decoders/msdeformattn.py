@@ -48,10 +48,33 @@ def _reference_points(spatial_shapes: Tuple[Tuple[int, int], ...]) -> np.ndarray
     return np.concatenate(pts, axis=0)
 
 
+def _sampling_offsets_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Reference _reset_parameters (ops/modules/ms_deform_attn.py:58-77):
+    zero kernels for sampling_offsets/attention_weights, and the
+    sampling_offsets *bias* set to the per-head unit direction on an 8-point
+    compass, scaled by (point index + 1) — load-bearing for from-scratch
+    training convergence of deformable attention."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * np.pi / n_heads)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (M, 2)
+        grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
+        grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+        for p in range(n_points):
+            grid[:, :, p] *= p + 1
+        flat = grid.reshape(-1)
+        assert flat.shape == tuple(shape), (flat.shape, shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
 class MSDeformAttnModule(nn.Module):
     """Deformable attention block: learned offsets/weights + sampling core.
 
-    Spec: reference ops/modules/ms_deform_attn.py:37-126.
+    Spec: reference ops/modules/ms_deform_attn.py:37-126, including
+    _reset_parameters' directional sampling-offset initialization (:58-77).
     """
 
     d_model: int = 256
@@ -71,12 +94,24 @@ class MSDeformAttnModule(nn.Module):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         D = C // M
 
-        value = nn.Dense(C, name="value_proj")(value_src)
+        value = nn.Dense(
+            C, kernel_init=nn.initializers.xavier_uniform(), name="value_proj"
+        )(value_src)
         value = value.reshape(B, N, M, D)
 
-        offsets = nn.Dense(M * L * P * 2, name="sampling_offsets")(query)
+        offsets = nn.Dense(
+            M * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offsets_bias_init(M, L, P),
+            name="sampling_offsets",
+        )(query)
         offsets = offsets.reshape(B, N, M, L, P, 2)
-        weights = nn.Dense(M * L * P, name="attention_weights")(query)
+        weights = nn.Dense(
+            M * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query)
         weights = jax.nn.softmax(weights.reshape(B, N, M, L * P), axis=-1).reshape(B, N, M, L, P)
 
         # normalize offsets by each target level's (W, H)
@@ -84,7 +119,9 @@ class MSDeformAttnModule(nn.Module):
         loc = reference_points[None, :, None, None, None, :] + offsets / wh[None, None, None, :, None, :]
 
         out = ms_deform_attn(value, spatial_shapes, loc, weights)
-        return nn.Dense(C, name="output_proj")(out)
+        return nn.Dense(
+            C, kernel_init=nn.initializers.xavier_uniform(), name="output_proj"
+        )(out)
 
 
 class MSDeformAttnEncoderLayer(nn.Module):

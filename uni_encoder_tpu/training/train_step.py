@@ -238,12 +238,15 @@ class Trainer:
 
     # -------------------------------------------------------------- init
     def init(self, rng, seg_batch, seq_batch) -> TrainState:
-        r1, r2, r3 = jax.random.split(rng, 3)
-        variables = self.model.init(r1, seg_batch["images"], seg_batch["task_tokens"])
+        r1, r2, r3, r_dp = jax.random.split(rng, 4)
+        variables = self.model.init(
+            {"params": r1, "drop_path": r_dp},
+            seg_batch["images"], seg_batch["task_tokens"],
+        )
         # sequence-path params (pose/motion/depth decoders) come from a
         # second init on the training sequence method; merge the trees.
         v_seq = self.model.init(
-            r2,
+            {"params": r2, "drop_path": r_dp},
             seq_batch["images"],
             seq_batch["prev_images"],
             seq_batch["next_images"],
@@ -259,12 +262,14 @@ class Trainer:
 
     # -------------------------------------------------------------- step
     def train_step(self, state: TrainState, seg_batch: Dict, seq_batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        rng_dp_seg, rng_dp_seq, rng_losses = jax.random.split(rng, 3)
+
         def loss_fn(trainable):
             params, text_params = trainable
             variables = {"params": params, "batch_stats": state.batch_stats}
             seg_out, seg_mut = self.model.apply(
                 variables, seg_batch["images"], seg_batch["task_tokens"],
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], rngs={"drop_path": rng_dp_seg},
             )
             text_feats = self.text_encoder.apply({"params": text_params}, seg_batch["text_tokens"])
             seg_targets = {
@@ -273,7 +278,7 @@ class Trainer:
                 "valid": seg_batch["valid"],
                 "text_feats": text_feats,
             }
-            r_seg, r_seq = jax.random.split(rng)
+            r_seg, r_seq = jax.random.split(rng_losses)
             seg_losses = self.criterion(r_seg, seg_out, seg_targets)
 
             seq_out, seq_mut = self.model.apply(
@@ -282,7 +287,7 @@ class Trainer:
                 seq_batch["prev_images"],
                 seq_batch["next_images"],
                 method=UniEncoder.forward_sequence_train,
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], rngs={"drop_path": rng_dp_seq},
             )
             seq_targets = {
                 "color": {
