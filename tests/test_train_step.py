@@ -25,7 +25,7 @@ def _micro_config():
         oversample_ratio=2.0,
     )
     head = C.SemSegHeadConfig(num_classes=19, convs_dim=32, mask_dim=32, transformer_enc_layers=1)
-    te = C.TextEncoderConfig(width=32, num_layers=1, vocab_size=512, context_length=16)
+    te = C.TextEncoderConfig(width=32, num_layers=1, vocab_size=512, context_length=16, n_ctx=2)
     model = C.ModelConfig(
         backbone=C.BackboneConfig(name="swin", swin=swin),
         sem_seg_head=head, one_former=of, text_encoder=te, is_train=True,
@@ -40,7 +40,7 @@ def batches():
     seg = {
         "images": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
         "task_tokens": jnp.ones((B, 16), jnp.int32),
-        "text_tokens": jnp.ones((B, 16), jnp.int32),
+        "text_tokens": jnp.ones((B, 6, 16), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, 19, (B, N)), jnp.int32),
         "masks": jnp.asarray(rng.rand(B, N, H // 4, W // 4) > 0.5),
         "valid": jnp.ones((B, N), bool),

@@ -98,7 +98,9 @@ def main():
                 pass
     assert seg_items and seq_items, "need both segmentation and sequence train data"
 
-    seg_mapper = SegmentationTrainMapper()
+    seg_mapper = SegmentationTrainMapper(
+        num_texts=cfg.model.one_former.num_object_queries - cfg.model.text_encoder.n_ctx
+    )
     seq_mapper = SequenceTrainMapper()
     sampler = iter(BalancedSampler(seg_items, seq_items))
 

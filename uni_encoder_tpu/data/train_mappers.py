@@ -83,6 +83,7 @@ class SegmentationTrainMapper:
         max_instances: int = 100,
         color_aug: bool = True,
         seed: int = 0,
+        num_texts: int = 134,  # NUM_OBJECT_QUERIES - TEXT_ENCODER.N_CTX
     ):
         self.crop_size = crop_size
         self.min_sizes = list(min_sizes)
@@ -91,6 +92,7 @@ class SegmentationTrainMapper:
         self.p_inst = task_prob_instance
         self.max_instances = max_instances
         self.color_aug = color_aug
+        self.num_texts = num_texts
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, item: Dict) -> Dict:
@@ -154,11 +156,19 @@ class SegmentationTrainMapper:
             ) > 127
             valid[i] = True
 
-        text = texts[0] if texts else f"a {task} photo"
+        # per-query text list, padded with the task prompt (reference
+        # oneformer_unified_dataset_mapper.py:143-170: texts initialized to
+        # "a {task} photo" and overwritten per object instance)
+        text_list = [f"a {task} photo"] * self.num_texts
+        for i, t in enumerate(texts[1:][: self.num_texts]):
+            text_list[i] = t
+        text_tokens = np.stack(
+            [np.asarray(tokenize_task(t), np.int32) for t in text_list]
+        )
         return {
             "images": image,
             "task_tokens": np.asarray(tokenize_task(f"The task is {task}"), np.int32),
-            "text_tokens": np.asarray(tokenize_task(text), np.int32),
+            "text_tokens": text_tokens,
             "labels": pad_labels,
             "masks": pad_masks,
             "valid": valid,

@@ -132,16 +132,27 @@ class SetCriterion:
         dice = (_dice_loss(pred_pts, tgt_pts) * valid).sum() / num_masks
         return bce, dice
 
-    def contrastive_loss(self, query_feats, text_feats):
+    def contrastive_loss(self, query_feats, text_feats, logit_scale=None):
         """Bidirectional InfoNCE between per-image query features and text
-        features (B, C) each, temperature tau."""
-        q = query_feats / (jnp.linalg.norm(query_feats, axis=-1, keepdims=True) + 1e-8)
-        t = text_feats / (jnp.linalg.norm(text_feats, axis=-1, keepdims=True) + 1e-8)
-        logits = q @ t.T / self.tau
+        features (the OneFormer criterion structure): inputs of shape
+        (B, Q, C) / (B, N_text, C) are FLATTENED per image (queries aligned
+        with the per-query text list, reference encode_text +
+        dataset-mapper text padding), L2-normalized, and contrasted across
+        the batch with a learnable clamped logit scale; (B, C) inputs are
+        supported for the pooled variant."""
+        q = query_feats.reshape(query_feats.shape[0], -1)
+        t = text_feats.reshape(text_feats.shape[0], -1)
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+        if logit_scale is None:
+            scale = 1.0 / self.tau
+        else:
+            scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        logits = q @ t.T * scale
         labels = jnp.arange(q.shape[0])
         l_qt = -jnp.take_along_axis(jax.nn.log_softmax(logits, 1), labels[:, None], 1).mean()
         l_tq = -jnp.take_along_axis(jax.nn.log_softmax(logits, 0).T, labels[:, None], 1).mean()
-        return 0.5 * (l_qt + l_tq)
+        return l_qt + l_tq
 
     # ------------------------------------------------------------------ main
     def __call__(self, rng, outputs: Dict, targets: Dict) -> Dict[str, jnp.ndarray]:
@@ -182,8 +193,11 @@ class SetCriterion:
             total = total + losses[f"loss_ce{tag}"] + losses[f"loss_mask{tag}"] + losses[f"loss_dice{tag}"]
 
         if "contrastive_logits" in outputs and "text_feats" in targets and outputs["contrastive_logits"] is not None:
-            qf = outputs["contrastive_logits"].mean(axis=1)  # (B, C) pooled queries
-            l_con = self.contrastive_loss(qf, targets["text_feats"])
+            l_con = self.contrastive_loss(
+                outputs["contrastive_logits"],  # (B, Q, C) per-query features
+                targets["text_feats"],  # (B, Q, C) per-query texts + prompt ctx
+                targets.get("logit_scale"),
+            )
             losses["loss_contrastive"] = self.contrastive_weight * l_con
             total = total + losses["loss_contrastive"]
 

@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.core import FrozenDict
 
@@ -34,10 +35,12 @@ from .monodepth import monodepth_loss
 
 
 class _TextEncoder(nn.Module):
-    """TextTransformer + TextProjector: maps (B, L) token ids to (B,
-    hidden_dim) features in the query-decoder embedding space (reference
-    builds the same text_encoder -> text_projector chain,
-    oneformer_model.py:143-151 / text_transformer.py)."""
+    """TextTransformer + TextProjector + learned prompt context + logit
+    scale: maps per-query text token lists (B, N_text, L) to (B, N_text +
+    n_ctx, hidden_dim) features in the query-decoder embedding space, the
+    reference's encode_text structure (oneformer_model.py:193-215: rearrange
+    'b n l -> (b n) l', project, append prompt_ctx embeddings). A (B, L)
+    input is treated as a single text per image with no context append."""
 
     context_length: int
     width: int
@@ -45,9 +48,15 @@ class _TextEncoder(nn.Module):
     vocab_size: int
     hidden_dim: int
     proj_num_layers: int
+    n_ctx: int = 16
 
     @nn.compact
     def __call__(self, text):
+        squeeze = text.ndim == 3
+        B = text.shape[0]
+        if squeeze:
+            n = text.shape[1]
+            text = text.reshape(B * n, text.shape[2])
         x = TextTransformer(
             context_length=self.context_length,
             width=self.width,
@@ -55,11 +64,23 @@ class _TextEncoder(nn.Module):
             vocab_size=self.vocab_size,
             name="text_encoder",
         )(text)
-        return TextProjector(
+        x = TextProjector(
             hidden_dim=self.hidden_dim,
             num_layers=self.proj_num_layers,
             name="text_projector",
         )(x)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, float(np.log(1.0 / 0.07))),
+            (),
+        )
+        if squeeze:
+            x = x.reshape(B, n, self.hidden_dim)
+            ctx = self.param(
+                "prompt_ctx", nn.initializers.normal(0.02), (self.n_ctx, self.hidden_dim)
+            )
+            x = jnp.concatenate([x, jnp.broadcast_to(ctx[None], (B, self.n_ctx, self.hidden_dim))], axis=1)
+        return {"texts": x, "logit_scale": logit_scale}
 
 
 class TrainState(NamedTuple):
@@ -210,6 +231,7 @@ class Trainer:
             vocab_size=te.vocab_size,
             hidden_dim=model_cfg.one_former.hidden_dim,
             proj_num_layers=te.proj_num_layers,
+            n_ctx=te.n_ctx,
         )
         of = model_cfg.one_former
         self.criterion = SetCriterion(
@@ -271,12 +293,13 @@ class Trainer:
                 variables, seg_batch["images"], seg_batch["task_tokens"],
                 mutable=["batch_stats"], rngs={"drop_path": rng_dp_seg},
             )
-            text_feats = self.text_encoder.apply({"params": text_params}, seg_batch["text_tokens"])
+            text_out = self.text_encoder.apply({"params": text_params}, seg_batch["text_tokens"])
             seg_targets = {
                 "labels": seg_batch["labels"],
                 "masks": seg_batch["masks"],
                 "valid": seg_batch["valid"],
-                "text_feats": text_feats,
+                "text_feats": text_out["texts"],
+                "logit_scale": text_out["logit_scale"],
             }
             r_seg, r_seq = jax.random.split(rng_losses)
             seg_losses = self.criterion(r_seg, seg_out, seg_targets)
