@@ -54,14 +54,17 @@ def panoptic_inference(
     labels = probs.argmax(axis=-1)
     keep = (labels != K) & (scores > object_mask_threshold)
 
-    sig = jax.nn.sigmoid(mask_pred.astype(jnp.float32))
-    prob_masks = scores[:, None, None] * sig
-    prob_masks = jnp.where(keep[:, None, None], prob_masks, -1.0)
+    # dtype-following full-resolution pipeline: with bf16 mask logits the
+    # (Q, H, W) sigmoid/argmax tensors stay bf16 (half the HBM traffic of
+    # the f32 path); areas/ratios accumulate in f32/int32 exactly.
+    sig = jax.nn.sigmoid(mask_pred)
+    prob_masks = (scores.astype(sig.dtype))[:, None, None] * sig
+    prob_masks = jnp.where(keep[:, None, None], prob_masks, jnp.asarray(-1.0, sig.dtype))
     ids = jnp.argmax(prob_masks, axis=0)  # (H, W) winner query per pixel
 
     q_idx = jnp.arange(Q)
     win = ids[None] == q_idx[:, None, None]  # (Q, H, W)
-    binm = sig >= 0.5
+    binm = mask_pred >= 0  # sigmoid(x) >= 0.5 <=> x >= 0, dtype-exact
     mask_area = win.sum(axis=(1, 2))
     original_area = binm.sum(axis=(1, 2))
     final_mask = win & binm
@@ -139,9 +142,10 @@ def instance_inference(
 
     masks = mask_pred[q_indices]  # (topk, H, W) logits
     bin_masks = masks > 0
-    sig = jax.nn.sigmoid(masks.astype(jnp.float32))
-    binf = bin_masks.astype(jnp.float32)
-    mask_scores = (sig * binf).sum(axis=(1, 2)) / (binf.sum(axis=(1, 2)) + 1e-6)
+    sig = jax.nn.sigmoid(masks)  # dtype-following; accumulate in f32
+    mask_scores = jnp.sum(
+        jnp.where(bin_masks, sig, jnp.zeros_like(sig)), axis=(1, 2), dtype=jnp.float32
+    ) / (bin_masks.sum(axis=(1, 2), dtype=jnp.float32) + 1e-6)
 
     from ..utils.misc import masks_to_boxes
 
