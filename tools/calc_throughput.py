@@ -44,7 +44,11 @@ def main():
     seg_batch = {
         "images": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
         "task_tokens": jnp.ones((B, 77), jnp.int32),
-        "text_tokens": jnp.ones((B, 77), jnp.int32),
+        # per-query text list: num_queries - n_ctx entries per image
+        "text_tokens": jnp.ones(
+            (B, cfg.model.one_former.num_object_queries - cfg.model.text_encoder.n_ctx, 77),
+            jnp.int32,
+        ),
         "labels": jnp.asarray(rng.randint(0, 19, (B, N)), jnp.int32),
         "masks": jnp.asarray(rng.rand(B, N, H // 4, W // 4) > 0.5),
         "valid": jnp.ones((B, N), bool),
