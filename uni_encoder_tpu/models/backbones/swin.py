@@ -127,7 +127,10 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        # dtype-following logits: under bf16 this matches the reference's AMP
+        # behavior (autocast computes the QK^T matmul in half precision,
+        # msdeformattn.py:336 marks only the deformable core fp32-only)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=q.dtype)
         attn = attn + rel_bias[None]
 
         if attn_mask is not None:

@@ -74,13 +74,15 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        # dtype-following logits (reference AMP computes attention matmuls in
+        # half precision); softmax is jax's stable (max-subtracted) form
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype)
         logits = logits / math.sqrt(Dh)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
                 attn_mask = attn_mask[None, None]
             if attn_mask.dtype == jnp.bool_:
-                logits = jnp.where(attn_mask, -jnp.inf, logits)
+                logits = jnp.where(attn_mask, jnp.asarray(-jnp.inf, logits.dtype), logits)
             else:
                 logits = logits + attn_mask
         attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)

@@ -177,7 +177,8 @@ class OneFormerQueryDecoder(nn.Module):
             dec = decoder_norm(output)
             emb = mask_embed_mlp(dec)  # (B, Q, mask_dim)
             logits_lvl = jnp.einsum(
-                "bqc,bnc->bqn", emb, mask_feats_at_level[level], preferred_element_type=jnp.float32
+                "bqc,bnc->bqn", emb, mask_feats_at_level[level],
+                preferred_element_type=emb.dtype,  # threshold at logit 0: dtype-exact
             )
             masked = jax.nn.sigmoid(logits_lvl) < 0.5  # True = not allowed
             # un-mask rows that are fully masked (reference :454)
@@ -188,7 +189,7 @@ class OneFormerQueryDecoder(nn.Module):
 
         def full_masks(emb):
             return jnp.einsum(
-                "bqc,bnc->bqn", emb, mask_feats_full, preferred_element_type=jnp.float32
+                "bqc,bnc->bqn", emb, mask_feats_full, preferred_element_type=emb.dtype
             ).reshape(B, Q, mh, mw)
 
         predictions_class: List[jnp.ndarray] = []
