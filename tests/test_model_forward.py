@@ -94,3 +94,33 @@ def test_production_width_forward_compiles():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, tasks)
     out = jax.jit(model.apply)(variables, images, tasks)
     assert out["pred_masks"].shape[-2:] == (16, 32)
+
+
+def test_motion_decoder_v1_shapes():
+    """MotionDecoderV1 (reference dynamo_motion_decoder.py:1-93): pyramid
+    refinement over the pose-encoder features, 0.01 output scale."""
+    from uni_encoder_tpu.models.motion_decoder import MotionDecoderV1
+
+    rng = np.random.RandomState(0)
+    H, W = 32, 64
+    pyr = {
+        "full_res_input": jnp.asarray(rng.randn(1, H, W, 8), jnp.float32),
+        "stem": jnp.asarray(rng.randn(1, H // 2, W // 2, 64), jnp.float32),
+        "res2": jnp.asarray(rng.randn(1, H // 4, W // 4, 64), jnp.float32),
+        "res3": jnp.asarray(rng.randn(1, H // 8, W // 8, 128), jnp.float32),
+        "res4": jnp.asarray(rng.randn(1, H // 16, W // 16, 256), jnp.float32),
+        "res5": jnp.asarray(rng.randn(1, H // 32, W // 32, 512), jnp.float32),
+    }
+    ego = jnp.asarray(rng.randn(1, 1, 1, 6) * 0.01, jnp.float32)
+
+    for out_dim, keys in ((3, ("complete_flow",)), (1, ("motion_prob", "motion_mask"))):
+        m = MotionDecoderV1(out_dim=out_dim)
+        v = m.init(jax.random.PRNGKey(0), pyr, ego)
+        out = jax.jit(lambda v, p, e: m.apply(v, p, e))(v, pyr, ego)
+        # scale s counts from full resolution
+        for s, hw in enumerate(((H, W), (H // 2, W // 2), (H // 4, W // 4), (H // 8, W // 8))):
+            for k in keys:
+                assert out[(k, s)].shape == (1, hw[0], hw[1], out_dim)
+        if out_dim == 1:
+            mm = np.asarray(out[("motion_mask", 0)])
+            assert (mm >= 0).all() and (mm <= 1).all()

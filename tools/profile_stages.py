@@ -1,0 +1,197 @@
+"""Per-stage profiler for the flagship inference path on one TPU chip.
+
+Times each pipeline stage in isolation with the host-fetch fence that is
+reliable through the remote-TPU tunnel (see BASELINE.md / utils cost notes:
+jax.block_until_ready can be a no-op there). Each timed fn is wrapped in a
+lax.scan over ITERS in-graph iterations with a carry data-dependency so the
+per-call tunnel overhead (~30 ms) amortizes away.
+
+Usage: python tools/profile_stages.py [stage ...]
+  stages: backbone, decoder, layer, msda, qdec, post, seq, all
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uni_encoder_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = 8
+
+
+def timed(name, fn, *args):
+    """fn: pytree -> pytree; scanned ITERS times with a data dependency."""
+
+    @jax.jit
+    def run(args):
+        def body(c, _):
+            out = fn(*c[1])
+            # fold a scalar of the output back into arg0 to chain iterations
+            leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            eps = (s * 0.0).astype(jax.tree_util.tree_leaves(c[1])[0].dtype)
+            new0 = jax.tree_util.tree_leaves(c[1])[0] + eps
+            flat, td = jax.tree_util.tree_flatten(c[1])
+            flat = [new0] + flat[1:]
+            return (c[0] + s, jax.tree_util.tree_unflatten(td, flat)), None
+
+        (acc, _), _ = jax.lax.scan(body, (jnp.float32(0.0), args), None, length=ITERS)
+        return acc
+
+    # compile
+    float(run(args))
+    t0 = time.perf_counter()
+    float(run(args))
+    dt = (time.perf_counter() - t0) / ITERS * 1000.0
+    print(f"{name:40s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    which = set(sys.argv[1:]) or {"all"}
+    rng = np.random.RandomState(0)
+    from uni_encoder_tpu.config import Config
+    from uni_encoder_tpu.models.oneformer import UniEncoder
+    from uni_encoder_tpu.data.tokenizer import tokenize_task
+
+    cfg = Config().model
+    model = UniEncoder(cfg)
+    SEG_H, SEG_W = 1024, 2048
+    img = jnp.asarray(rng.randn(1, SEG_H, SEG_W, 3), jnp.bfloat16)
+    tasks = jnp.asarray([tokenize_task("The task is panoptic")], jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img.astype(jnp.float32), tasks)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+    )
+    params = variables["params"]
+
+    # ---- backbone
+    from uni_encoder_tpu.models.backbones.swin import SwinTransformer
+
+    bb = SwinTransformer()
+    bb_params = {"params": params["backbone"]}
+    if which & {"backbone", "all"}:
+        timed("backbone swin-t 1024x2048", lambda v, x: bb.apply(v, x), bb_params, img)
+
+    feats = jax.jit(lambda v, x: bb.apply(v, x))(bb_params, img)
+    feats = jax.tree_util.tree_map(lambda x: x, feats)
+
+    # ---- pixel decoder
+    from uni_encoder_tpu.models.pixel_decoders.msdeformattn import (
+        MSDeformAttnPixelDecoder,
+        MSDeformAttnEncoderLayer,
+    )
+
+    pd = MSDeformAttnPixelDecoder()
+    pd_params = {"params": params["pixel_decoder"]}
+    if which & {"decoder", "all"}:
+        timed("pixel decoder (6-layer msda + fpn)", lambda v, f: pd.apply(v, f), pd_params, feats)
+
+    # ---- one encoder layer at production shapes
+    shapes = ((32, 64), (64, 128), (128, 256))
+    S = sum(h * w for h, w in shapes)
+    C = 256
+    if which & {"layer", "all"}:
+        layer = MSDeformAttnEncoderLayer()
+        src = jnp.asarray(rng.randn(1, S, C), jnp.bfloat16)
+        pos = jnp.asarray(rng.randn(1, S, C), jnp.bfloat16)
+        from uni_encoder_tpu.models.pixel_decoders.msdeformattn import _reference_points
+
+        refp = jnp.asarray(_reference_points(shapes))
+        lv = layer.init(jax.random.PRNGKey(0), src, pos, refp, shapes)
+        lv = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, lv
+        )
+        timed(
+            "msda encoder layer",
+            lambda v, s, p: layer.apply(v, s, p, refp, shapes),
+            lv, src, pos,
+        )
+
+    # ---- raw msda op
+    if which & {"msda", "all"}:
+        from uni_encoder_tpu.ops import ms_deform_attn
+
+        B, M, D, L, P = 1, 8, 32, 3, 4
+        value = jnp.asarray(rng.randn(B, S, M, D), jnp.bfloat16)
+        loc = jnp.asarray(rng.rand(B, S, M, L, P, 2), jnp.float32)
+        w = jax.nn.softmax(jnp.asarray(rng.randn(B, S, M, L * P), jnp.float32)).reshape(
+            B, S, M, L, P
+        )
+        timed(
+            "ms_deform_attn op (S=43008)",
+            lambda v, l, ww: ms_deform_attn(v, shapes, l, ww),
+            value, loc, w,
+        )
+
+    # ---- query decoder
+    if which & {"qdec", "all"}:
+        from uni_encoder_tpu.models.transformer_decoder import OneFormerQueryDecoder
+
+        pdo = jax.jit(lambda v, f: pd.apply(v, f))(pd_params, feats)
+        mask_features, _, multi_scale = pdo
+        qd = OneFormerQueryDecoder()
+        task_emb = jnp.asarray(rng.randn(1, 256), jnp.bfloat16)
+
+        qv = {"params": params["predictor"]}
+        def run_qdec(v, ms, mf, te):
+            o = qd.apply(v, ms, mf, te)
+            return o["pred_logits"], o["pred_masks"]
+
+        try:
+            timed("query decoder (9+1 layers)", run_qdec, qv, multi_scale, mask_features, task_emb)
+        except Exception as e:
+            print("qdec profile failed:", type(e).__name__, str(e)[:200])
+
+    # ---- postprocess
+    if which & {"post", "all"}:
+        from uni_encoder_tpu.inference.postprocess import (
+            instance_inference,
+            panoptic_inference,
+            semantic_inference,
+        )
+        from uni_encoder_tpu.ops import interpolate
+
+        logits = jnp.asarray(rng.randn(150, 20), jnp.bfloat16)
+        masks_small = jnp.asarray(rng.randn(150, 256, 512), jnp.bfloat16)
+        thing_mask = jnp.asarray(np.isin(np.arange(19), np.arange(11, 19)))
+
+        def post(lg, mk):
+            masks = interpolate(
+                mk.transpose(1, 2, 0)[None], size=(SEG_H, SEG_W), mode="bilinear"
+            )[0].transpose(2, 0, 1)
+            sem = semantic_inference(lg, masks)
+            pan = panoptic_inference(lg, masks, thing_mask, 0.8, 0.8)
+            inst = instance_inference(lg, masks, 150)
+            return sem.argmax(0).astype(jnp.int32), pan["panoptic_seg"], inst["scores"]
+
+        timed("postprocess (upsample+sem+pan+inst)", post, logits, masks_small)
+
+    # ---- sequence pass
+    if which & {"seq", "all"}:
+        dep = jnp.asarray(rng.randn(1, 192, 512, 3), jnp.bfloat16)
+        prev = jnp.asarray(rng.randn(1, 192, 512, 3), jnp.bfloat16)
+        vs = jax.jit(
+            lambda r, a, b: model.init(r, a, b, method=UniEncoder.forward_sequence)
+        )(jax.random.PRNGKey(0), dep.astype(jnp.float32), prev.astype(jnp.float32))
+        vs = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, vs
+        )
+
+        def seq(v, a, b):
+            o = model.apply(v, a, b, method=UniEncoder.forward_sequence)
+            return o["disp"], o["cam_T_cam"]
+
+        timed("sequence pass 192x512", seq, vs, dep, prev)
+
+
+if __name__ == "__main__":
+    main()

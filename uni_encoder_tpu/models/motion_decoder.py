@@ -1,4 +1,4 @@
-"""Coarse-to-fine motion decoder (complete 3D flow / motion-mask heads).
+"""Coarse-to-fine motion decoders (complete 3D flow / motion-mask heads).
 
 Capability spec: reference model/modeling/motion_decoder/
 dynamo_motion_decoder_mod.py (MotionDecoderV2): seeds a motion field from
@@ -7,11 +7,17 @@ dynamo_motion_decoder_mod.py (MotionDecoderV2): seeds a motion field from
 two-frame features + full-res RGB pair; out_dim=3 -> ("complete_flow", s)
 = 0.005*out, out_dim=1 -> ("motion_prob"/"motion_mask", s) with
 sigmoid(0.005*out) (:115-125). Instantiated twice by the meta-arch.
+
+MotionDecoderV1 is the earlier variant (dynamo_motion_decoder.py:1-93,
+unused by the live configs but part of the release surface): refines over
+the *pose-encoder* pyramid [res5..stem, full-res input pair], with a
+conv(in+out)->conv(in)+ReLU pair whose two intermediates are re-concatenated
+through a 1x1 "redu" conv, and a 0.01 output scale (vs V2's 0.005).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +64,66 @@ class _FusionStage(nn.Module):
         for i, s in enumerate(strides):
             x = _ELUResidualBlock(self.features, stride=s, train_bn=self.train_bn, name=f"block{i}")(x)
         return x
+
+
+class MotionDecoderV1(nn.Module):
+    """Reference dynamo_motion_decoder.py MotionDecoder.
+
+    Stages run coarse->fine over the pose-encoder pyramid: stage ii consumes
+    pyramid[-1-ii] of [full_res_input, stem, res2..res5] (:41-44), i.e.
+    res5 first. Per stage (:55-63):
+        x   = concat(upsampled motion, feat)
+        x1  = conv3x3(x)            # no activation (:29-33 comments ELU out)
+        x2  = relu(conv3x3(x1))
+        out = conv1x1(concat(x1, x2)) + upsampled motion
+    Scale outputs (:79-91): m_raw = 0.01 * out; out_dim=1 ->
+    ("motion_prob"/"motion_mask", s), out_dim=3 -> ("complete_flow", s).
+    """
+
+    out_dim: int = 3
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    # encoder channels fine->coarse (ResNet18 pose encoder) — reversed
+    # internally like the reference's num_inp_feat[::-1] + [org_in_ch]
+    num_inp_feat: Tuple[int, ...] = (64, 64, 128, 256, 512)
+    num_input_images: int = 2
+    inp_disp: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        pyramid: Dict[str, jnp.ndarray],  # full_res_input, stem, res2..res5 (NHWC)
+        ego_motion: jnp.ndarray,  # (B, 1, 1, 6)
+    ):
+        org_in_ch = self.num_input_images * (3 + int(self.inp_disp))
+        chans = tuple(reversed(self.num_inp_feat)) + (org_in_ch,)
+        order = ["full_res_input", "stem", "res2", "res3", "res4", "res5"]
+
+        motion = nn.Conv(self.out_dim, (1, 1), name="res_trans_conv")(100.0 * ego_motion)
+        outs_per_stage = []
+        for ii, ch in enumerate(chans):
+            feat = pyramid[order[-1 - ii]]
+            up = interpolate(motion, size=feat.shape[1:3], mode="bilinear", align_corners=False)
+            x = jnp.concatenate([up, feat], axis=-1)
+            x1 = nn.Conv(ch, (3, 3), padding=1, name=f"conv{ii}_0")(x)
+            x2 = relu(nn.Conv(ch, (3, 3), padding=1, name=f"conv{ii}_1")(x1))
+            red = nn.Conv(self.out_dim, (1, 1), name=f"redu{ii}")(
+                jnp.concatenate([x1, x2], axis=-1)
+            )
+            motion = red + up
+            outs_per_stage.append(motion)
+
+        outs = {}
+        for scale in self.scales:
+            ii = len(chans) - 1 - scale
+            m_raw = 0.01 * outs_per_stage[ii]
+            if self.out_dim == 1:
+                outs[("motion_prob", scale)] = m_raw
+                outs[("motion_mask", scale)] = jax.nn.sigmoid(m_raw)
+            elif self.out_dim == 3:
+                outs[("complete_flow", scale)] = m_raw
+            else:
+                raise ValueError(f"out_dim={self.out_dim}")
+        return outs
 
 
 class MotionDecoderV2(nn.Module):

@@ -13,11 +13,14 @@ TPU design
 The CUDA kernel is one-thread-per-(b,q,h,c) with scalar bilinear gathers. On
 TPU we instead express the op as four batched corner-gathers per level
 (`take_along_axis` over the flattened H*W axis) + a weighted reduction, all
-in fp32 (the reference wraps this op in `@autocast(enabled=False)`;
-msdeformattn.py:336). XLA lowers the gathers to native TPU gather ops; the
-weighted reduction fuses. A Pallas kernel with VMEM-resident level tiles is
-layered on top for the hot shapes (see ops/pallas/msda.py); this function is
-the correctness baseline and CPU/interpret fallback.
+with fp32 accumulation (the reference wraps this op in
+`@autocast(enabled=False)`; msdeformattn.py:336 — under bf16 inference the
+gathered values follow the value dtype while all weighted accumulation stays
+fp32). XLA lowers the gathers to native TPU gather ops; the weighted
+reduction fuses. This XLA gather formulation IS the production kernel: a
+fused Pallas variant was measured slower end-to-end (Mosaic has no
+cross-vreg gather, and Pallas custom calls are fusion barriers for the
+surrounding layers — see BASELINE.md negative results) and was removed.
 
 Shapes
 ------
