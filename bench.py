@@ -83,18 +83,19 @@ def main():
 
     thing_mask = jnp.asarray(np.isin(np.arange(19), np.arange(11, 19)))
 
+    from uni_encoder_tpu.inference.fused_postprocess import fused_multitask_inference
+
     @jax.jit
     def seg_step(variables, images, tasks):
         out = model.apply(variables, images, tasks)
-        masks = out["pred_masks"][0]  # (Q, H/4, W/4)
-        masks = interpolate(
-            masks.transpose(1, 2, 0)[None], size=(SEG_H, SEG_W), mode="bilinear"
-        )[0].transpose(2, 0, 1)
-        logits = out["pred_logits"][0]
-        sem = semantic_inference(logits, masks)
-        pan = panoptic_inference(logits, masks, thing_mask, 0.8, 0.8)
-        inst = instance_inference(logits, masks, 150)
-        return sem.argmax(0).astype(jnp.int32), pan["panoptic_seg"], inst["scores"]
+        # fused Pallas postprocess: upsample + semantic/panoptic/instance in
+        # one VMEM-resident pass (golden-tested vs the unfused pipeline in
+        # tests/test_fused_postprocess.py)
+        post = fused_multitask_inference(
+            out["pred_logits"][0], out["pred_masks"][0], thing_mask,
+            object_mask_threshold=0.8, overlap_threshold=0.8, topk=150,
+        )
+        return post["sem_seg_argmax"], post["panoptic_seg"], post["scores"]
 
     @jax.jit
     def dep_step(variables, images, prev):

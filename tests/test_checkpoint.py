@@ -124,3 +124,41 @@ def test_merge_states():
     b = {"y": np.ones(1), "z": np.ones(1)}
     m = ckpt.merge_states(a, b)
     assert set(m) == {"x", "y", "z"} and m["y"][0] == 1
+
+
+def test_dinat_converter_covers_backbone():
+    """convert_dinat maps every DiNAT backbone parameter (shape-correct)
+    for a small config (depths mirror dinat.py defaults scaled down)."""
+    from uni_encoder_tpu.models.backbones.dinat import DiNAT
+
+    depths = (2, 2, 4, 2)
+    model = DiNAT(embed_dim=32, depths=depths, num_heads=(1, 2, 4, 8))
+    tree = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    target = {("backbone",) + k: v for k, v in _tree_leaves(tree["params"]).items()}
+
+    rec = ckpt.Converter({})
+    ckpt.convert_dinat(rec, depths=depths)
+
+    rng = np.random.RandomState(0)
+    state = {}
+    for src, coll, dst, tname in rec.records:
+        assert coll == "params"
+        assert dst in target, f"convert_dinat maps {src} to nonexistent {dst}"
+        shape = target[dst].shape
+        if tname == "_t_linear":
+            src_shape = shape[::-1]
+        elif tname == "_t_conv":
+            h, w, i, o = shape
+            src_shape = (o, i, h, w)
+        else:
+            src_shape = shape
+        state[src] = rng.randn(*src_shape).astype(np.float32)
+
+    c = ckpt.Converter(state)
+    ckpt.convert_dinat(c, depths=depths)
+    assert not c.unused
+    got = {("backbone",) + k: v for k, v in _tree_leaves(c.params["backbone"]).items()}
+    missing = set(target) - set(got)
+    assert not missing, f"unmapped: {sorted(missing)[:8]}"
+    for k in target:
+        assert got[k].shape == target[k].shape, (k, got[k].shape, target[k].shape)

@@ -86,3 +86,39 @@ def test_dataset_evaluator_merge_state_protocol():
     # merge_state replaces with the union of shard states
     np.testing.assert_allclose(np.stack(a.metrics), np.stack(ms))
     assert a.evaluate() == full.evaluate()
+
+
+def test_allgather_transport_roundtrip():
+    """Exercise the pickle -> pad -> stack -> unpickle transport itself with
+    an injected fake collective simulating 3 processes with different-size
+    payloads (the real multihost path uses the same code with
+    process_allgather injected)."""
+    import numpy as np
+
+    from uni_encoder_tpu.evaluation.evaluator import allgather_object
+
+    payloads = [
+        {"rank": 0, "data": list(range(100))},
+        {"rank": 1, "data": "short"},
+        {"rank": 2, "data": np.arange(7.0)},
+    ]
+    from uni_encoder_tpu.evaluation.evaluator import _pack_object, _pad_to
+
+    packed = [_pack_object(p) for p in payloads]
+    max_size = max(p.size for p in packed)
+
+    calls = {"n": 0}
+
+    def fake_allgather(local):
+        # emulate each process contributing its own row
+        calls["n"] += 1
+        if local.dtype == np.int64:  # size exchange
+            return np.stack([np.asarray([p.size], np.int64) for p in packed])
+        assert local.size == max_size
+        return np.stack([_pad_to(p, max_size) for p in packed])
+
+    out = allgather_object(payloads[0], _allgather=fake_allgather)
+    assert calls["n"] == 2
+    assert out[0] == payloads[0]
+    assert out[1] == payloads[1]
+    np.testing.assert_array_equal(out[2]["data"], payloads[2]["data"])

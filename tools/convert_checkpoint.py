@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("inputs", nargs="+", help=".pkl/.pth state dicts (later ones win on conflicts)")
     ap.add_argument("-o", "--output", required=True, help="orbax checkpoint dir")
-    ap.add_argument("--backbone", default="swin", choices=["swin", "resnet", "convnext"])
+    ap.add_argument("--backbone", default="swin", choices=["swin", "resnet", "convnext", "dinat"])
     ap.add_argument(
         "--duplicate-conv",
         default=None,
@@ -43,6 +43,8 @@ def main():
         ckpt.convert_swin(c)
     elif args.backbone == "resnet":
         ckpt.convert_resnet(c)
+    elif args.backbone == "dinat":
+        ckpt.convert_dinat(c)
     else:
         ckpt.convert_convnext(c)
     ckpt.convert_msdeform_pixel_decoder(c)

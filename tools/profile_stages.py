@@ -34,14 +34,18 @@ def timed(name, fn, *args):
     def run(args):
         def body(c, _):
             out = fn(*c[1])
-            # fold a scalar of the output back into arg0 to chain iterations
+            # fold a nonzero epsilon of the output into EVERY float leaf so
+            # no stage is loop-invariant (XLA would hoist it out of the scan
+            # and the measurement would be bogus-low)
             leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
             s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            eps = (s * 0.0).astype(jax.tree_util.tree_leaves(c[1])[0].dtype)
-            new0 = jax.tree_util.tree_leaves(c[1])[0] + eps
-            flat, td = jax.tree_util.tree_flatten(c[1])
-            flat = [new0] + flat[1:]
-            return (c[0] + s, jax.tree_util.tree_unflatten(td, flat)), None
+
+            def perturb(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                    return x + (s * 1e-30).astype(x.dtype)
+                return x
+
+            return (c[0] + s, jax.tree_util.tree_map(perturb, c[1])), None
 
         (acc, _), _ = jax.lax.scan(body, (jnp.float32(0.0), args), None, length=ITERS)
         return acc

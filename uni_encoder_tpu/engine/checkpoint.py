@@ -225,6 +225,34 @@ def convert_convnext(c: Converter, depths=(3, 3, 9, 3)) -> None:
         c.norm(b + f"norm{i}", ("backbone", f"out_norm{i}"))
 
 
+def convert_dinat(c: Converter, depths=(3, 4, 18, 5)) -> None:
+    """reference model/modeling/backbone/dinat.py (D2DiNAT) / NAT release
+    checkpoints (tools/convert-pretrained-nat-model-to-d2.py wraps them
+    verbatim): patch_embed.proj Sequential(2 convs) + norm, levels.{i}
+    .blocks.{j} (norm1/2, attn.{qkv,rpb,proj}, mlp.fc1/2), ConvDownsampler
+    reduction/norm, out norm{i}. Default depths = DiNAT-Large."""
+    b = "backbone."
+    c.conv(b + "patch_embed.proj.0", ("backbone", "tokenizer_conv0"))
+    c.conv(b + "patch_embed.proj.1", ("backbone", "tokenizer_conv1"))
+    c.norm(b + "patch_embed.norm", ("backbone", "tokenizer_norm"))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            src = f"{b}levels.{i}.blocks.{j}."
+            dst = ("backbone", f"levels_{i}_blocks_{j}")
+            c.norm(src + "norm1", dst + ("norm1",))
+            c.norm(src + "norm2", dst + ("norm2",))
+            c.raw(src + "attn.qkv.weight", dst + ("attn", "qkv", "kernel"), _t_linear)
+            c.raw(src + "attn.qkv.bias", dst + ("attn", "qkv", "bias"))
+            c.raw(src + "attn.rpb", dst + ("attn", "rpb"))
+            c.linear(src + "attn.proj", dst + ("attn", "proj"))
+            c.linear(src + "mlp.fc1", dst + ("mlp_fc1",))
+            c.linear(src + "mlp.fc2", dst + ("mlp_fc2",))
+        if i < len(depths) - 1:
+            c.conv(f"{b}levels.{i}.downsample.reduction", ("backbone", f"downsample_{i}_reduction"), bias=False)
+            c.norm(f"{b}levels.{i}.downsample.norm", ("backbone", f"downsample_{i}_norm"))
+        c.norm(f"{b}norm{i}", ("backbone", f"out_norm{i}"))
+
+
 def convert_msdeform_pixel_decoder(c: Converter, prefix="sem_seg_head.pixel_decoder.", dst0="pixel_decoder", layers=6, levels=3):
     trunk = (dst0, "trunk")
     for i in range(levels):

@@ -22,27 +22,57 @@ from typing import Any, Callable, Dict, List, Optional
 logger = logging.getLogger(__name__)
 
 
-def allgather_object(obj: Any) -> List[Any]:
-    """Allgather an arbitrary picklable object across JAX processes.
-    Returns the per-process list (length jax.process_count(), this process's
-    contribution at index jax.process_index())."""
-    import jax
-
-    if jax.process_count() == 1:
-        return [obj]
+def _pack_object(obj: Any):
+    """pickle -> uint8 numpy array (transport encoding)."""
     import numpy as np
-    from jax.experimental import multihost_utils
 
-    data = np.frombuffer(pickle.dumps(obj), np.uint8)
-    sizes = multihost_utils.process_allgather(np.asarray([data.size], np.int64))
-    sizes = np.asarray(sizes).reshape(-1)
-    padded = np.zeros((int(sizes.max()),), np.uint8)
+    return np.frombuffer(pickle.dumps(obj), np.uint8)
+
+
+def _pad_to(data, size: int):
+    import numpy as np
+
+    padded = np.zeros((size,), np.uint8)
     padded[: data.size] = data
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return padded
+
+
+def _unpack_gathered(sizes, gathered) -> List[Any]:
+    """Inverse of the pad/stack transport: gathered (P, max_size) uint8 rows
+    + per-row true sizes -> per-process objects."""
+    import numpy as np
+
+    sizes = np.asarray(sizes).reshape(-1)
+    gathered = np.asarray(gathered)
     return [
         pickle.loads(gathered[i, : int(sizes[i])].tobytes())
         for i in range(len(sizes))
     ]
+
+
+def allgather_object(obj: Any, _allgather: Optional[Callable] = None) -> List[Any]:
+    """Allgather an arbitrary picklable object across JAX processes.
+    Returns the per-process list (length jax.process_count(), this process's
+    contribution at index jax.process_index()).
+
+    `_allgather` injects the collective for testing: it must map a local
+    numpy array to the (P, ...) stack of all processes' arrays (default:
+    jax.experimental.multihost_utils.process_allgather).
+    """
+    import jax
+
+    if _allgather is None:
+        if jax.process_count() == 1:
+            return [obj]
+        from jax.experimental import multihost_utils
+
+        _allgather = multihost_utils.process_allgather
+    import numpy as np
+
+    data = _pack_object(obj)
+    sizes = np.asarray(_allgather(np.asarray([data.size], np.int64))).reshape(-1)
+    gathered = _allgather(_pad_to(data, int(sizes.max())))
+    return _unpack_gathered(sizes, gathered)
 
 
 class DatasetEvaluator:

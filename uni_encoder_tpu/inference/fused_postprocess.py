@@ -1,0 +1,345 @@
+"""Fused full-resolution multi-task inference (Pallas TPU kernel).
+
+Replaces the materialized pipeline  upsample(masks) -> semantic_inference +
+panoptic_inference + instance_inference  (inference/postprocess.py, specced
+on reference model/oneformer_model.py:258-489) for the hot inference path.
+The unfused functions remain the semantic reference (and serve consumers
+that need full-resolution probability maps, e.g. semantic TTA).
+
+Why fused: at 1024x2048 with 150 queries the unfused pipeline materializes
+many (Q, H, W) tensors in HBM (upsampled logits, sigmoids, probability
+maps, winner/binary masks) — ~45 ms of a ~240 ms frame. This kernel reads
+the (Q, H/4, W/4) mask logits once per row-band and computes every
+reduction and per-pixel map in VMEM.
+
+Key structure: the reference's F.interpolate(scale_factor=4,
+align_corners=False) decomposes into 16 *phases* — out[4k+jy, 4l+jx] is a
+fixed-weight blend of src[k+dy, l+dx] for dy,dx in {0,1} with weights
+depending only on (jy, jx) (source coords (r+0.5)/4 - 0.5, edges clamped =
+edge-replicated padding). Each phase plane is computed with static shifts
+and scalar weights — no lane gathers, which Mosaic does not have. Per-pixel
+outputs are emitted phase-separated as (4, 4, H/4, W/4) and de-interleaved
+by one cheap XLA transpose+reshape outside the kernel.
+
+Per-pixel outputs: semantic argmax, panoptic winner query + winner-binary
+bit. Per-query accumulators: winner area, binary area, sigmoid-sum inside
+the binary mask, and binary-mask bounding boxes. The per-query panoptic
+bookkeeping (overlap filtering, stuff merging, id assignment) runs in XLA
+on (Q,) vectors; the final id map is a fused broadcast-compare-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# phase weights for 4x torch bilinear (align_corners=False):
+# out row 4k+j samples src y = k + (j+0.5)/4 - 0.5;
+#   j=0: rows (k-1, k) frac 0.625 -> weights (0.375, 0.625) on (k-1, k)
+#   j=1: rows (k-1, k) frac 0.875 -> (0.125, 0.875)
+#   j=2: rows (k,  k+1) frac 0.125 -> (0.875, 0.125)
+#   j=3: rows (k,  k+1) frac 0.375 -> (0.625, 0.375)
+# with a +1 shift into the edge-replicated padded array, j in (0,1) reads
+# padded rows (k, k+1) and j in (2,3) reads (k+1, k+2).
+_PHASE_OFF = (0, 0, 1, 1)  # base row offset into padded src for each j
+_PHASE_W0 = (0.375, 0.125, 0.875, 0.625)  # weight of the first row
+
+
+def _fused_kernel(
+    scores_ref,  # (1, Qp) f32 — keep-masked scores (-1/-2 means dropped/pad)
+    clsprob_ref,  # (Kp, Qp) f32 — softmax class probabilities (padded)
+    masks_ref,  # (hp, Qp, wp) bf16 — edge-padded, row-major TRANSPOSED
+    sem_ref,  # out (4, 4, bh, w) i32
+    ids_ref,  # out (4, 4, bh, w) i32
+    winbin_ref,  # out (4, 4, bh, w) i32 (0/1 winner-binary bit)
+    win_area_ref,  # out (1, Qp) f32
+    bin_area_ref,  # out (1, Qp) f32
+    final_area_ref,  # out (1, Qp) f32
+    sig_sum_ref,  # out (1, Qp) f32
+    box_ref,  # out (4, Qp) f32 [xmin, ymin, xmax, ymax]
+    band_ref,  # scratch (bh + 2, Qp, wp) bf16
+    dma_sem,
+    *,
+    bh: int,
+    w: int,
+    Qp: int,
+    Kp: int,
+):
+    # Layout note: source rows lead (batch dim), queries are sublanes,
+    # columns are lanes — every op below is a batch/sublane/lane-native
+    # shift, reduce, or 3D batched dot. No reshapes (Mosaic cannot shape-
+    # cast across the sublane/lane boundary).
+    band = pl.program_id(0)
+
+    @pl.when(band == 0)
+    def _init():
+        win_area_ref[:] = jnp.zeros_like(win_area_ref)
+        bin_area_ref[:] = jnp.zeros_like(bin_area_ref)
+        final_area_ref[:] = jnp.zeros_like(final_area_ref)
+        sig_sum_ref[:] = jnp.zeros_like(sig_sum_ref)
+        box_ref[0, :] = jnp.full((Qp,), 1e9, jnp.float32)
+        box_ref[1, :] = jnp.full((Qp,), 1e9, jnp.float32)
+        box_ref[2, :] = jnp.full((Qp,), -1e9, jnp.float32)
+        box_ref[3, :] = jnp.full((Qp,), -1e9, jnp.float32)
+
+    # DMA the source band (bh + 2 padded rows) into VMEM
+    copy = pltpu.make_async_copy(
+        masks_ref.at[pl.ds(band * bh, bh + 2), :, :], band_ref, dma_sem
+    )
+    copy.start()
+    copy.wait()
+
+    scores = scores_ref[0, :]  # (Qp,)
+    cls_b = jnp.broadcast_to(clsprob_ref[:][None], (bh, Kp, Qp))
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 1)
+
+    for jy in range(4):
+        r0 = _PHASE_OFF[jy]
+        wy0 = _PHASE_W0[jy]
+        rows0 = band_ref[pl.ds(r0, bh)]  # (bh, Qp, wp)
+        rows1 = band_ref[pl.ds(r0 + 1, bh)]
+        for jx in range(4):
+            c0 = _PHASE_OFF[jx]
+            wx0 = _PHASE_W0[jx]
+            a00 = rows0[:, :, c0 : c0 + w]
+            a01 = rows0[:, :, c0 + 1 : c0 + 1 + w]
+            a10 = rows1[:, :, c0 : c0 + w]
+            a11 = rows1[:, :, c0 + 1 : c0 + 1 + w]
+            # y-axis first then x-axis with x0*(1-f) + x1*f association —
+            # matches ops/resize.py's separable bf16 passes
+            wy1b = jnp.bfloat16(1.0 - wy0)
+            wy0b = jnp.bfloat16(wy0)
+            wx1b = jnp.bfloat16(1.0 - wx0)
+            wx0b = jnp.bfloat16(wx0)
+            by0 = a00 * wy0b + a10 * wy1b
+            by1 = a01 * wy0b + a11 * wy1b
+            logit = by0 * wx0b + by1 * wx1b  # (bh, Qp, w) bf16
+
+            sig = jax.nn.sigmoid(logit.astype(jnp.float32))  # (bh, Qp, w) f32
+            binm = logit >= jnp.bfloat16(0.0)
+
+            # ---- semantic: (bh, Kp, Qp) @ (bh, Qp, w) -> (bh, Kp, w)
+            sem_scores = jax.lax.dot_general(
+                cls_b, sig,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            sem_ref[jy, jx] = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
+
+            # ---- panoptic winner; dropped/padded queries get exactly -1
+            # like the unfused prob_masks (the -1 ties decide the winner at
+            # pixels where every query is dropped, which feeds the areas)
+            prob = jnp.where(
+                scores[None, :, None] < 0.0,
+                jnp.float32(-1.0),
+                sig * scores[None, :, None],
+            )
+            ids = jnp.argmax(prob, axis=1).astype(jnp.int32)  # (bh, w)
+            ids_ref[jy, jx] = ids
+            win = jnp.broadcast_to(ids[:, None, :], (bh, Qp, w)) == q_iota
+            winbin = win & binm
+            winbin_ref[jy, jx] = jnp.any(winbin, axis=1).astype(jnp.int32)
+
+            # ---- per-query accumulators
+            win_area_ref[0, :] += jnp.sum(win, axis=(0, 2)).astype(jnp.float32)
+            bin_f = binm.astype(jnp.float32)
+            bin_area_ref[0, :] += jnp.sum(bin_f, axis=(0, 2))
+            final_area_ref[0, :] += jnp.sum(winbin, axis=(0, 2)).astype(jnp.float32)
+            sig_sum_ref[0, :] += jnp.sum(sig * bin_f, axis=(0, 2))
+
+            # ---- boxes: global pixel coords of this phase plane
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (bh, 1, w), 2) * 4 + jx
+            ).astype(jnp.float32)
+            row = (
+                (jax.lax.broadcasted_iota(jnp.int32, (bh, 1, w), 0) + band * bh) * 4
+                + jy
+            ).astype(jnp.float32)
+            big = jnp.float32(1e9)
+            xmin = jnp.min(jnp.where(binm, col, big), axis=(0, 2))
+            ymin = jnp.min(jnp.where(binm, row, big), axis=(0, 2))
+            xmax = jnp.max(jnp.where(binm, col, -big), axis=(0, 2))
+            ymax = jnp.max(jnp.where(binm, row, -big), axis=(0, 2))
+            box_ref[0, :] = jnp.minimum(box_ref[0, :], xmin)
+            box_ref[1, :] = jnp.minimum(box_ref[1, :], ymin)
+            box_ref[2, :] = jnp.maximum(box_ref[2, :], xmax)
+            box_ref[3, :] = jnp.maximum(box_ref[3, :], ymax)
+
+
+def _deinterleave(phases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(4, 4, H/4, W/4) -> (H, W): out[4k+jy, 4l+jx] = phases[jy, jx, k, l]."""
+    h, w = phases.shape[2], phases.shape[3]
+    return phases.transpose(2, 0, 3, 1).reshape(H, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("thing_ids_static", "object_mask_threshold",
+                     "overlap_threshold", "topk", "interpret"),
+)
+def fused_multitask_inference(
+    mask_cls: jnp.ndarray,  # (Q, K+1) logits
+    mask_pred: jnp.ndarray,  # (Q, h, w) mask logits (stride-4)
+    thing_mask: jnp.ndarray,  # (K,) bool
+    thing_ids_static=None,  # unused; kept for cache keying symmetry
+    object_mask_threshold: float = 0.8,
+    overlap_threshold: float = 0.8,
+    topk: int = 150,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Returns the union of semantic/panoptic/instance outputs at 4x the
+    mask resolution, numerically matching the unfused pipeline
+    (semantic argmax; panoptic map + segment arrays; instance scores,
+    labels, boxes, query indices — instance *masks* are winner-free binary
+    masks derivable on demand and are not materialized here)."""
+    Q, Kp1 = mask_cls.shape
+    K = Kp1 - 1
+    h, w = mask_pred.shape[1], mask_pred.shape[2]
+    H, W = 4 * h, 4 * w
+
+    f32 = jnp.float32
+    probs = jax.nn.softmax(mask_cls.astype(f32), axis=-1)
+    scores_all = probs.max(axis=-1)
+    labels_all = probs.argmax(axis=-1)
+    keep = (labels_all != K) & (scores_all > object_mask_threshold)
+    # dropped/padded queries get score -1 so they never win the argmax
+    # (mirrors prob_masks = -1 in the unfused pipeline)
+    kscores = jnp.where(keep, scores_all, -1.0)
+
+    Qp = ((Q + 7) // 8) * 8
+    Kp = ((K + 7) // 8) * 8
+    bh = 16 if h % 16 == 0 else 8  # src rows per band
+    assert h % bh == 0, (h, bh)
+    n_bands = h // bh
+
+    # edge-replicated padding (realizes torch's coordinate clamping), then
+    # row-major transpose: (rows, Q, cols) so kernel queries sit on sublanes
+    mp = jnp.pad(mask_pred.astype(jnp.bfloat16), ((0, Qp - Q), (1, 1), (1, 1)), mode="edge")
+    # padded queries: logits -> -inf-ish so sig=0, binm=False
+    if Qp > Q:
+        mp = mp.at[Q:].set(jnp.bfloat16(-30000.0))
+    mp = jnp.transpose(mp, (1, 0, 2))  # (h+2, Qp, w+2)
+    wp = w + 2
+
+    cls_prob = jnp.zeros((Kp, Qp), f32)
+    cls_prob = cls_prob.at[:K, :Q].set(probs[:, :-1].T)
+    kscores_p = jnp.full((1, Qp), -2.0, f32).at[0, :Q].set(kscores)
+
+    grid = (n_bands,)
+    out_shape = [
+        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # sem phases
+        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # ids phases
+        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # winner-binary phases
+        jax.ShapeDtypeStruct((1, Qp), f32),
+        jax.ShapeDtypeStruct((1, Qp), f32),
+        jax.ShapeDtypeStruct((1, Qp), f32),
+        jax.ShapeDtypeStruct((1, Qp), f32),
+        jax.ShapeDtypeStruct((4, Qp), f32),
+    ]
+    kern = functools.partial(_fused_kernel, bh=bh, w=w, Qp=Qp, Kp=Kp)
+    (sem_ph, ids_ph, winbin_ph, win_area, bin_area, final_area, sig_sum, box) = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scores (1, Qp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # clsprob (Kp, Qp)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # masks (DMA'd)
+        ],
+        out_specs=[
+            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, Qp, wp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(kscores_p, cls_prob, mp)
+
+    sem_seg = _deinterleave(sem_ph, H, W)
+    ids_map = _deinterleave(ids_ph, H, W)
+    winbin_map = _deinterleave(winbin_ph, H, W)
+
+    # ---------------------------------------------- per-query panoptic logic
+    win_area = win_area[0, :Q]
+    bin_area = bin_area[0, :Q]
+    final_area = final_area[0, :Q]
+    sig_sum = sig_sum[0, :Q]
+
+    ratio = win_area / jnp.maximum(bin_area, 1.0)
+    valid = (
+        keep
+        & (win_area > 0)
+        & (bin_area > 0)
+        & (final_area > 0)
+        & (ratio >= overlap_threshold)
+    )
+    q_idx = jnp.arange(Q)
+    safe_labels = jnp.clip(labels_all, 0, K - 1)
+    isthing = thing_mask[safe_labels] & (labels_all != K)
+    valid_stuff = valid & ~isthing
+    same_label = labels_all[:, None] == labels_all[None, :]
+    earlier = q_idx[None, :] < q_idx[:, None]
+    exists_earlier = jnp.any(valid_stuff[None, :] & same_label & earlier, axis=1)
+    is_first_stuff = valid_stuff & ~exists_earlier
+    new_segment = valid & (isthing | is_first_stuff)
+    seg_id = jnp.cumsum(new_segment.astype(jnp.int32))
+    stuff_id = jnp.sum(
+        (is_first_stuff[None, :] & same_label).astype(jnp.int32) * seg_id[None, :], axis=1
+    )
+    assigned = jnp.where(isthing, seg_id, stuff_id) * valid.astype(jnp.int32)
+
+    # final id map: winner query's assigned id where its binary bit is set —
+    # fused broadcast-compare-reduce (no (Q, H, W) materialization)
+    pan = jnp.sum(
+        jnp.where(
+            ids_map[None] == q_idx[:, None, None],
+            assigned[:, None, None],
+            0,
+        ),
+        axis=0,
+    )
+    panoptic_seg = (pan * winbin_map).astype(jnp.int32)
+
+    # ---------------------------------------------------- instance outputs
+    flat = probs[:, :-1].reshape(-1)
+    scores_per_image, topk_indices = jax.lax.top_k(flat, topk)
+    labels_per_image = topk_indices % K
+    q_indices = topk_indices // K
+    mask_scores = sig_sum[q_indices] / (bin_area[q_indices] + 1e-6)
+    # xyxy with inclusive max coords (utils/misc.masks_to_boxes convention)
+    boxes = jnp.stack(
+        [
+            jnp.where(bin_area > 0, box[0, :Q], 0.0),
+            jnp.where(bin_area > 0, box[1, :Q], 0.0),
+            jnp.where(bin_area > 0, box[2, :Q], 0.0),
+            jnp.where(bin_area > 0, box[3, :Q], 0.0),
+        ],
+        axis=-1,
+    )[q_indices]
+
+    return {
+        "sem_seg_argmax": sem_seg,
+        "panoptic_seg": panoptic_seg,
+        "seg_id": seg_id.astype(jnp.int32),
+        "label": labels_all.astype(jnp.int32),
+        "isthing": isthing,
+        "is_new_segment": new_segment,
+        "scores": scores_per_image * mask_scores,
+        "labels": labels_per_image.astype(jnp.int32),
+        "boxes": boxes,
+        "query_indices": q_indices.astype(jnp.int32),
+    }

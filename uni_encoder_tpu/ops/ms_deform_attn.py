@@ -92,19 +92,28 @@ def ms_deform_attn(
     assert sum(h * w for h, w in spatial_shapes) == S
 
     orig_dtype = value.dtype
-    sampling_locations = sampling_locations.astype(jnp.float32)
-    attention_weights = attention_weights.astype(jnp.float32)
+    # ONE M-major relayout of locations/weights up front; all per-level math
+    # then runs in the (B, M, Lq, ...) layout the gathers need (measured:
+    # the former 12 per-level small transposes cost ~2.7 ms/layer)
+    sampling_locations = jnp.transpose(
+        sampling_locations.astype(jnp.float32), (0, 2, 1, 3, 4, 5)
+    )  # (B, M, Lq, L, P, 2)
+    attention_weights = jnp.transpose(
+        attention_weights.astype(jnp.float32), (0, 2, 1, 3, 4)
+    )  # (B, M, Lq, L, P)
     unroll_heads = B * M <= 16
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
     )
 
+    value_hm = jnp.transpose(value, (0, 2, 1, 3))  # (B, M, S, D), one relayout
+
     out = jnp.zeros((B, M, Lq, D), jnp.float32)
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         HW = H * W
-        v = jnp.transpose(value[:, start : start + HW], (0, 2, 1, 3))
+        v = value_hm[:, :, start : start + HW]
         v = v.reshape(B * M, H, W, D)
         v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
         v = jnp.concatenate([v[:, :, :-1], v[:, :, 1:]], axis=-1)  # x-pairs
@@ -112,28 +121,20 @@ def ms_deform_attn(
         v = v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
         start += HW
 
-        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
+        loc = sampling_locations[:, :, :, lvl]  # (B, M, Lq, P, 2)
         fx = loc[..., 0] * W - 0.5
         fy = loc[..., 1] * H - 0.5
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
-        wx = fx - x0
-        wy = fy - y0
+        wxb = fx - x0  # (B, M, Lq, P)
+        wyb = fy - y0
         # patches fully outside the map contribute nothing
         inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
-        w_l = attention_weights[:, :, :, lvl] * inside  # (B, Lq, M, P)
-
-        # -> (B*M, Lq*P, ...) layouts
-        def bm(x):
-            return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * M, Lq * P)
+        wlb = attention_weights[:, :, :, lvl] * inside  # (B, M, Lq, P)
 
         ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
         iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
-        lin = bm(iy) * (W + 1) + bm(ix)  # (B*M, LqP) flat start of (y0, x0)
-
-        wxb = jnp.transpose(wx, (0, 2, 1, 3))  # (B, M, Lq, P)
-        wyb = jnp.transpose(wy, (0, 2, 1, 3))
-        wlb = jnp.transpose(w_l, (0, 2, 1, 3))
+        lin = (iy * (W + 1) + ix).reshape(B * M, Lq * P)  # flat (y0, x0) rows
         # per-(point, corner) weights in gather-channel order
         # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight;
         # (B, M, Lq, P*4) with k = p*4 + c matching g's packed lane layout
