@@ -8,7 +8,7 @@ that need full-resolution probability maps, e.g. semantic TTA).
 
 Why fused: at 1024x2048 with 150 queries the unfused pipeline materializes
 many (Q, H, W) tensors in HBM (upsampled logits, sigmoids, probability
-maps, winner/binary masks) — ~45 ms of a ~240 ms frame. This kernel reads
+maps, winner/binary masks) — ~45 ms of a ~170 ms frame. This kernel reads
 the (Q, H/4, W/4) mask logits once per row-band and computes every
 reduction and per-pixel map in VMEM.
 
@@ -21,6 +21,16 @@ and scalar weights — no lane gathers, which Mosaic does not have. Per-pixel
 outputs are emitted phase-separated as (4, 4, H/4, W/4) and de-interleaved
 by one cheap XLA transpose+reshape outside the kernel.
 
+Mosaic notes that shaped this kernel:
+  * layout is (rows, Q, cols) = (batch, sublane, lane); no reshapes cross
+    the sublane/lane boundary (unsupported shape casts);
+  * no vector bools: broadcast i1 relayouts fail ("non-singleton dimension
+    replicated"), so every mask is 0/1 float arithmetic (sign/clip);
+  * the 16 phases are a GRID dimension, not an unrolled python loop — the
+    fully unrolled body made Mosaic compile for tens of minutes; phase
+    constants are arithmetic in program_id so one body serves all phases;
+  * DMA slices must be lane-aligned (source cols padded to 128).
+
 Per-pixel outputs: semantic argmax, panoptic winner query + winner-binary
 bit. Per-query accumulators: winner area, binary area, sigmoid-sum inside
 the binary mask, and binary-mask bounding boxes. The per-query panoptic
@@ -31,7 +41,7 @@ on (Q,) vectors; the final id map is a fused broadcast-compare-reduce.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -39,25 +49,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# phase weights for 4x torch bilinear (align_corners=False):
-# out row 4k+j samples src y = k + (j+0.5)/4 - 0.5;
-#   j=0: rows (k-1, k) frac 0.625 -> weights (0.375, 0.625) on (k-1, k)
-#   j=1: rows (k-1, k) frac 0.875 -> (0.125, 0.875)
-#   j=2: rows (k,  k+1) frac 0.125 -> (0.875, 0.125)
-#   j=3: rows (k,  k+1) frac 0.375 -> (0.625, 0.375)
-# with a +1 shift into the edge-replicated padded array, j in (0,1) reads
-# padded rows (k, k+1) and j in (2,3) reads (k+1, k+2).
-_PHASE_OFF = (0, 0, 1, 1)  # base row offset into padded src for each j
-_PHASE_W0 = (0.375, 0.125, 0.875, 0.625)  # weight of the first row
+# 4x torch bilinear (align_corners=False): out row 4k+j samples src row
+# k + (j+0.5)/4 - 0.5, i.e. rows (k-1, k) for j in (0,1) and (k, k+1) for
+# j in (2,3); the first-row weight is (0.375, 0.125, 0.875, 0.625)[j].
+# With the +1 shift into the edge-replicated padded source both become
+# arithmetic in j:  row offset = j // 2,  w0 = 0.375 + (j//2)*0.5 - (j%2)*0.25
 
 
 def _fused_kernel(
     scores_ref,  # (1, Qp) f32 — keep-masked scores (-1/-2 means dropped/pad)
     clsprob_ref,  # (Kp, Qp) f32 — softmax class probabilities (padded)
-    masks_ref,  # (hp, Qp, wp) bf16 — edge-padded, row-major TRANSPOSED
-    sem_ref,  # out (4, 4, bh, w) i32
-    ids_ref,  # out (4, 4, bh, w) i32
-    winbin_ref,  # out (4, 4, bh, w) i32 (0/1 winner-binary bit)
+    masks_ref,  # (hp, Qp, wp) bf16 — edge-padded, (rows, Q, cols) layout
+    sem_ref,  # out block (1, 1, bh, w) i32
+    ids_ref,  # out block (1, 1, bh, w) i32
+    winbin_ref,  # out block (1, 1, bh, w) i32 (0/1 winner-binary bit)
     win_area_ref,  # out (1, Qp) f32
     bin_area_ref,  # out (1, Qp) f32
     final_area_ref,  # out (1, Qp) f32
@@ -71,13 +76,12 @@ def _fused_kernel(
     Qp: int,
     Kp: int,
 ):
-    # Layout note: source rows lead (batch dim), queries are sublanes,
-    # columns are lanes — every op below is a batch/sublane/lane-native
-    # shift, reduce, or 3D batched dot. No reshapes (Mosaic cannot shape-
-    # cast across the sublane/lane boundary).
     band = pl.program_id(0)
+    phase = pl.program_id(1)
+    jy = phase // 4
+    jx = phase - jy * 4
 
-    @pl.when(band == 0)
+    @pl.when((band == 0) & (phase == 0))
     def _init():
         win_area_ref[:] = jnp.zeros_like(win_area_ref)
         bin_area_ref[:] = jnp.zeros_like(bin_area_ref)
@@ -88,106 +92,116 @@ def _fused_kernel(
         box_ref[2, :] = jnp.full((Qp,), -1e9, jnp.float32)
         box_ref[3, :] = jnp.full((Qp,), -1e9, jnp.float32)
 
-    # DMA the source band (bh + 2 padded rows) into VMEM
-    copy = pltpu.make_async_copy(
-        masks_ref.at[pl.ds(band * bh, bh + 2), :, :], band_ref, dma_sem
-    )
-    copy.start()
-    copy.wait()
+    # DMA the source band (bh + 2 padded rows) once; phases reuse it
+    @pl.when(phase == 0)
+    def _load():
+        copy = pltpu.make_async_copy(
+            masks_ref.at[pl.ds(band * bh, bh + 2), :, :], band_ref, dma_sem
+        )
+        copy.start()
+        copy.wait()
 
-    scores = scores_ref[0, :]  # (Qp,)
+    # phase constants (arithmetic in the traced phase ids; all values are
+    # exactly representable in bf16)
+    r0 = jy // 2
+    wy0 = (0.375 + (jy // 2).astype(jnp.float32) * 0.5
+           - (jy % 2).astype(jnp.float32) * 0.25)
+    c0f = (jx // 2).astype(jnp.float32)
+    wx0 = (0.375 + (jx // 2).astype(jnp.float32) * 0.5
+           - (jx % 2).astype(jnp.float32) * 0.25)
+
+    rows0 = band_ref[pl.ds(r0, bh)]  # (bh, Qp, wp)
+    rows1 = band_ref[pl.ds(r0 + 1, bh)]
+
+    # column base c0 in {0, 1}: blend the two static lane slices with the
+    # 0/1 scalar (no dynamic lane slicing, no booleans). All scalar math in
+    # f32 (Mosaic cannot legalize scalar bf16 arithmetic), cast at use.
+    c0b = c0f.astype(jnp.bfloat16)
+    c1b = (1.0 - c0f).astype(jnp.bfloat16)
+
+    def xsel(rows):
+        a = rows[:, :, 0:w] * c1b + rows[:, :, 1 : 1 + w] * c0b
+        b = rows[:, :, 1 : 1 + w] * c1b + rows[:, :, 2 : 2 + w] * c0b
+        return a, b
+
+    a00, a01 = xsel(rows0)
+    a10, a11 = xsel(rows1)
+
+    # y-axis first then x-axis with x0*(1-f) + x1*f association — matches
+    # ops/resize.py's separable bf16 passes
+    wy0b = wy0.astype(jnp.bfloat16)
+    wy1b = (1.0 - wy0).astype(jnp.bfloat16)
+    wx0b = wx0.astype(jnp.bfloat16)
+    wx1b = (1.0 - wx0).astype(jnp.bfloat16)
+    by0 = a00 * wy0b + a10 * wy1b
+    by1 = a01 * wy0b + a11 * wy1b
+    logit = by0 * wx0b + by1 * wx1b  # (bh, Qp, w) bf16
+
+    logit32 = logit.astype(jnp.float32)
+    sig = jax.nn.sigmoid(logit32)  # (bh, Qp, w) f32
+    # 0/1 float bits instead of bool tensors (broadcast i1 relayouts fail):
+    # step(x >= 0) = clip(sign(x) + 1, 0, 1); sign(0) = 0 -> 1
+    bin_f = jnp.clip(jnp.sign(logit32) + 1.0, 0.0, 1.0)
+
+    # ---- semantic: (bh, Kp, Qp) @ (bh, Qp, w) -> (bh, Kp, w)
     cls_b = jnp.broadcast_to(clsprob_ref[:][None], (bh, Kp, Qp))
+    sem_scores = jax.lax.dot_general(
+        cls_b, sig,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    sem_ref[0, 0] = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
+
+    # ---- panoptic winner; dropped/padded queries get exactly -1 like the
+    # unfused prob_masks (-1 ties decide the winner at all-dropped pixels,
+    # which feeds the areas)
+    scores = scores_ref[0, :]
+    scores_b = jnp.broadcast_to(scores[None, :, None], (bh, Qp, w))
+    drop_f = jnp.clip(jnp.sign(-scores_b), 0.0, 1.0)
+    prob = drop_f * jnp.float32(-1.0) + (1.0 - drop_f) * sig * scores_b
+    ids = jnp.argmax(prob, axis=1).astype(jnp.int32)  # (bh, w)
+    ids_ref[0, 0] = ids
+    ids_b = jnp.broadcast_to(ids[:, None, :], (bh, Qp, w))
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 1)
+    win_f = (1 - jnp.minimum(jnp.abs(ids_b - q_iota), 1)).astype(jnp.float32)
+    winbin_f = win_f * bin_f
+    winbin_ref[0, 0] = jnp.max(winbin_f, axis=1).astype(jnp.int32)
 
-    for jy in range(4):
-        r0 = _PHASE_OFF[jy]
-        wy0 = _PHASE_W0[jy]
-        rows0 = band_ref[pl.ds(r0, bh)]  # (bh, Qp, wp)
-        rows1 = band_ref[pl.ds(r0 + 1, bh)]
-        for jx in range(4):
-            c0 = _PHASE_OFF[jx]
-            wx0 = _PHASE_W0[jx]
-            a00 = rows0[:, :, c0 : c0 + w]
-            a01 = rows0[:, :, c0 + 1 : c0 + 1 + w]
-            a10 = rows1[:, :, c0 : c0 + w]
-            a11 = rows1[:, :, c0 + 1 : c0 + 1 + w]
-            # y-axis first then x-axis with x0*(1-f) + x1*f association —
-            # matches ops/resize.py's separable bf16 passes
-            wy1b = jnp.bfloat16(1.0 - wy0)
-            wy0b = jnp.bfloat16(wy0)
-            wx1b = jnp.bfloat16(1.0 - wx0)
-            wx0b = jnp.bfloat16(wx0)
-            by0 = a00 * wy0b + a10 * wy1b
-            by1 = a01 * wy0b + a11 * wy1b
-            logit = by0 * wx0b + by1 * wx1b  # (bh, Qp, w) bf16
+    # ---- per-query accumulators
+    win_area_ref[0, :] += jnp.sum(win_f, axis=(0, 2))
+    bin_area_ref[0, :] += jnp.sum(bin_f, axis=(0, 2))
+    final_area_ref[0, :] += jnp.sum(winbin_f, axis=(0, 2))
+    sig_sum_ref[0, :] += jnp.sum(sig * bin_f, axis=(0, 2))
 
-            sig = jax.nn.sigmoid(logit.astype(jnp.float32))  # (bh, Qp, w) f32
-            binm = logit >= jnp.bfloat16(0.0)
-
-            # ---- semantic: (bh, Kp, Qp) @ (bh, Qp, w) -> (bh, Kp, w)
-            sem_scores = jax.lax.dot_general(
-                cls_b, sig,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            sem_ref[jy, jx] = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
-
-            # ---- panoptic winner; dropped/padded queries get exactly -1
-            # like the unfused prob_masks (the -1 ties decide the winner at
-            # pixels where every query is dropped, which feeds the areas)
-            prob = jnp.where(
-                scores[None, :, None] < 0.0,
-                jnp.float32(-1.0),
-                sig * scores[None, :, None],
-            )
-            ids = jnp.argmax(prob, axis=1).astype(jnp.int32)  # (bh, w)
-            ids_ref[jy, jx] = ids
-            win = jnp.broadcast_to(ids[:, None, :], (bh, Qp, w)) == q_iota
-            winbin = win & binm
-            winbin_ref[jy, jx] = jnp.any(winbin, axis=1).astype(jnp.int32)
-
-            # ---- per-query accumulators
-            win_area_ref[0, :] += jnp.sum(win, axis=(0, 2)).astype(jnp.float32)
-            bin_f = binm.astype(jnp.float32)
-            bin_area_ref[0, :] += jnp.sum(bin_f, axis=(0, 2))
-            final_area_ref[0, :] += jnp.sum(winbin, axis=(0, 2)).astype(jnp.float32)
-            sig_sum_ref[0, :] += jnp.sum(sig * bin_f, axis=(0, 2))
-
-            # ---- boxes: global pixel coords of this phase plane
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (bh, 1, w), 2) * 4 + jx
-            ).astype(jnp.float32)
-            row = (
-                (jax.lax.broadcasted_iota(jnp.int32, (bh, 1, w), 0) + band * bh) * 4
-                + jy
-            ).astype(jnp.float32)
-            big = jnp.float32(1e9)
-            xmin = jnp.min(jnp.where(binm, col, big), axis=(0, 2))
-            ymin = jnp.min(jnp.where(binm, row, big), axis=(0, 2))
-            xmax = jnp.max(jnp.where(binm, col, -big), axis=(0, 2))
-            ymax = jnp.max(jnp.where(binm, row, -big), axis=(0, 2))
-            box_ref[0, :] = jnp.minimum(box_ref[0, :], xmin)
-            box_ref[1, :] = jnp.minimum(box_ref[1, :], ymin)
-            box_ref[2, :] = jnp.maximum(box_ref[2, :], xmax)
-            box_ref[3, :] = jnp.maximum(box_ref[3, :], ymax)
+    # ---- boxes: global pixel coords, arithmetic masking (empty masks give
+    # +/-1e9, gated by bin_area in the epilogue)
+    colf = (
+        jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 2) * 4 + jx
+    ).astype(jnp.float32)
+    rowf = (
+        (jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 0) + band * bh) * 4 + jy
+    ).astype(jnp.float32)
+    pen = (1.0 - bin_f) * jnp.float32(1e9)
+    box_ref[0, :] = jnp.minimum(box_ref[0, :], jnp.min(colf + pen, axis=(0, 2)))
+    box_ref[1, :] = jnp.minimum(box_ref[1, :], jnp.min(rowf + pen, axis=(0, 2)))
+    box_ref[2, :] = jnp.maximum(box_ref[2, :], jnp.max(colf - pen, axis=(0, 2)))
+    box_ref[3, :] = jnp.maximum(box_ref[3, :], jnp.max(rowf - pen, axis=(0, 2)))
 
 
 def _deinterleave(phases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """(4, 4, H/4, W/4) -> (H, W): out[4k+jy, 4l+jx] = phases[jy, jx, k, l]."""
-    h, w = phases.shape[2], phases.shape[3]
     return phases.transpose(2, 0, 3, 1).reshape(H, W)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thing_ids_static", "object_mask_threshold",
-                     "overlap_threshold", "topk", "interpret"),
+    static_argnames=("object_mask_threshold", "overlap_threshold", "topk",
+                     "interpret"),
 )
 def fused_multitask_inference(
     mask_cls: jnp.ndarray,  # (Q, K+1) logits
     mask_pred: jnp.ndarray,  # (Q, h, w) mask logits (stride-4)
     thing_mask: jnp.ndarray,  # (K,) bool
-    thing_ids_static=None,  # unused; kept for cache keying symmetry
     object_mask_threshold: float = 0.8,
     overlap_threshold: float = 0.8,
     topk: int = 150,
@@ -196,8 +210,8 @@ def fused_multitask_inference(
     """Returns the union of semantic/panoptic/instance outputs at 4x the
     mask resolution, numerically matching the unfused pipeline
     (semantic argmax; panoptic map + segment arrays; instance scores,
-    labels, boxes, query indices — instance *masks* are winner-free binary
-    masks derivable on demand and are not materialized here)."""
+    labels, boxes, query indices — instance *masks* are derivable on demand
+    and are not materialized here)."""
     Q, Kp1 = mask_cls.shape
     K = Kp1 - 1
     h, w = mask_pred.shape[1], mask_pred.shape[2]
@@ -208,8 +222,8 @@ def fused_multitask_inference(
     scores_all = probs.max(axis=-1)
     labels_all = probs.argmax(axis=-1)
     keep = (labels_all != K) & (scores_all > object_mask_threshold)
-    # dropped/padded queries get score -1 so they never win the argmax
-    # (mirrors prob_masks = -1 in the unfused pipeline)
+    # dropped queries get score -1 so they never win the argmax (mirrors
+    # prob_masks = -1 in the unfused pipeline)
     kscores = jnp.where(keep, scores_all, -1.0)
 
     Qp = ((Q + 7) // 8) * 8
@@ -219,19 +233,20 @@ def fused_multitask_inference(
     n_bands = h // bh
 
     # edge-replicated padding (realizes torch's coordinate clamping), then
-    # row-major transpose: (rows, Q, cols) so kernel queries sit on sublanes
+    # (rows, Q, cols) layout; cols padded to a lane-aligned width for DMA
     mp = jnp.pad(mask_pred.astype(jnp.bfloat16), ((0, Qp - Q), (1, 1), (1, 1)), mode="edge")
     # padded queries: logits -> -inf-ish so sig=0, binm=False
     if Qp > Q:
         mp = mp.at[Q:].set(jnp.bfloat16(-30000.0))
     mp = jnp.transpose(mp, (1, 0, 2))  # (h+2, Qp, w+2)
-    wp = w + 2
+    wp = ((w + 2 + 127) // 128) * 128
+    mp = jnp.pad(mp, ((0, 0), (0, 0), (0, wp - (w + 2))))
 
     cls_prob = jnp.zeros((Kp, Qp), f32)
     cls_prob = cls_prob.at[:K, :Q].set(probs[:, :-1].T)
     kscores_p = jnp.full((1, Qp), -2.0, f32).at[0, :Q].set(kscores)
 
-    grid = (n_bands,)
+    grid = (n_bands, 16)
     out_shape = [
         jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # sem phases
         jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # ids phases
@@ -242,6 +257,10 @@ def fused_multitask_inference(
         jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((4, Qp), f32),
     ]
+
+    def phase_map(i, p):
+        return (p // 4, p % 4, i, 0)
+
     kern = functools.partial(_fused_kernel, bh=bh, w=w, Qp=Qp, Kp=Kp)
     (sem_ph, ids_ph, winbin_ph, win_area, bin_area, final_area, sig_sum, box) = pl.pallas_call(
         kern,
@@ -253,14 +272,14 @@ def fused_multitask_inference(
             pl.BlockSpec(memory_space=pltpu.ANY),  # masks (DMA'd)
         ],
         out_specs=[
-            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4, bh, w), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((bh + 2, Qp, wp), jnp.bfloat16),
