@@ -52,14 +52,19 @@ def main():
     cfg = Config().model
     model = UniEncoder(cfg)
     use_bf16 = os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+    # steady-state serving batch (the reference's throughput protocol batches
+    # too: IMS_PER_BATCH/num_gpus images per device, tools/README.md:70-83;
+    # engine/serving.py is the batched production path). BENCH_BATCH=1 gives
+    # the single-stream latency number.
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
 
     SEG_H, SEG_W = 1024, 2048
     DEP_H, DEP_W = 192, 512
     rng = np.random.RandomState(0)
-    seg_img = jnp.asarray(rng.randn(1, SEG_H, SEG_W, 3), jnp.float32)
-    dep_img = jnp.asarray(rng.randn(1, DEP_H, DEP_W, 3), jnp.float32)
-    prev_img = jnp.asarray(rng.randn(1, DEP_H, DEP_W, 3), jnp.float32)
-    tasks = jnp.asarray([tokenize_task("The task is panoptic")], jnp.int32)
+    seg_img = jnp.asarray(rng.randn(batch, SEG_H, SEG_W, 3), jnp.float32)
+    dep_img = jnp.asarray(rng.randn(batch, DEP_H, DEP_W, 3), jnp.float32)
+    prev_img = jnp.asarray(rng.randn(batch, DEP_H, DEP_W, 3), jnp.float32)
+    tasks = jnp.asarray([tokenize_task("The task is panoptic")] * batch, jnp.int32)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), seg_img, tasks)
     v_seq = jax.jit(
@@ -88,14 +93,19 @@ def main():
     @jax.jit
     def seg_step(variables, images, tasks):
         out = model.apply(variables, images, tasks)
+
         # fused Pallas postprocess: upsample + semantic/panoptic/instance in
         # one VMEM-resident pass (golden-tested vs the unfused pipeline in
-        # tests/test_fused_postprocess.py)
-        post = fused_multitask_inference(
-            out["pred_logits"][0], out["pred_masks"][0], thing_mask,
-            object_mask_threshold=0.8, overlap_threshold=0.8, topk=150,
-        )
-        return post["sem_seg_argmax"], post["panoptic_seg"], post["scores"]
+        # tests/test_fused_postprocess.py); per-image over the batch
+        def post_one(args):
+            logits, masks = args
+            post = fused_multitask_inference(
+                logits, masks, thing_mask,
+                object_mask_threshold=0.8, overlap_threshold=0.8, topk=150,
+            )
+            return post["sem_seg_argmax"], post["panoptic_seg"], post["scores"]
+
+        return jax.lax.map(post_one, (out["pred_logits"], out["pred_masks"]))
 
     @jax.jit
     def dep_step(variables, images, prev):
@@ -104,6 +114,7 @@ def main():
 
     # compile + sanity
     r0 = jax.tree_util.tree_map(np.asarray, seg_step(variables, seg_img, tasks))
+    assert r0[0].shape == (batch, SEG_H, SEG_W), r0[0].shape
     assert np.isfinite(r0[2]).all(), "non-finite instance scores"
     jax.block_until_ready(dep_step(variables, dep_img, prev_img))
 
@@ -123,7 +134,7 @@ def main():
         r = seg_step(variables, seg_img, tasks)
         d = dep_step(variables, dep_img, prev_img)
     fence(r, d)  # drains the queue: all iterations complete before the stop
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * batch)
 
     img_per_s = 1.0 / dt
     print(
@@ -133,6 +144,7 @@ def main():
                 "value": round(img_per_s, 3),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+                "batch": batch,
             }
         )
     )

@@ -240,6 +240,7 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     drop_path_rate: float = 0.0  # linspace schedule over all blocks (train)
     deterministic: bool = True
+    use_pallas_attention: bool = False
 
     @property
     def out_channels(self):
@@ -273,6 +274,7 @@ class SwinTransformer(nn.Module):
                     qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dpr[blk]),
                     deterministic=self.deterministic,
+                    use_pallas_attention=self.use_pallas_attention,
                     name=f"layers_{i}_blocks_{j}",
                 )(x)
                 blk += 1
