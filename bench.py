@@ -52,11 +52,11 @@ def main():
     cfg = Config().model
     model = UniEncoder(cfg)
     use_bf16 = os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
-    # steady-state serving batch (the reference's throughput protocol batches
-    # too: IMS_PER_BATCH/num_gpus images per device, tools/README.md:70-83;
-    # engine/serving.py is the batched production path). BENCH_BATCH=1 gives
-    # the single-stream latency number.
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    # serving batch size. Measured (BASELINE.md): batch=2 is NET WORSE on
+    # one v5e chip (6.16 vs 6.67 img/s) — the per-image gathers and
+    # full-res tensors dominate and bigger live intermediates hurt; the
+    # default stays 1 (which is also the latency-optimal serving config).
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     SEG_H, SEG_W = 1024, 2048
     DEP_H, DEP_W = 192, 512

@@ -1,0 +1,125 @@
+"""Microbench: packed-corner-table build variants for ms_deform_attn.
+
+The production op builds, per encoder layer and level, a (B*M, (H+1)*(W+1),
+4D) table packing the 2x2 bilinear corner footprint into lanes (see
+ops/ms_deform_attn.py). Measured r3 cost ~3.8 ms/layer (~23 ms/frame over 6
+layers) — far above the ~0.3 ms bandwidth bound, i.e. relayout-bound.
+This bench compares formulations ON THE REAL CHIP (run under axon):
+
+  two_concat   — production: pad, x-pair concat, y-pair concat
+  one_concat   — single 4-operand concat of shifted padded views
+  dus          — dynamic_update_slice composition into a zeros buffer
+  patches      — lax.conv_general_dilated_patches (im2col)
+
+Timing protocol per BASELINE.md: dispatch-loop with input perturbation so
+XLA cannot hoist, host-fetch fence (block_until_ready is a no-op through the
+axon tunnel), null-loop subtraction.
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, M, D = 1, 8, 32
+LEVELS = [(128, 256), (64, 128), (32, 64)]
+
+
+def two_concat(v, H, W):
+    v = v.reshape(B * M, H, W, D)
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    v = jnp.concatenate([v[:, :, :-1], v[:, :, 1:]], axis=-1)
+    v = jnp.concatenate([v[:, :-1], v[:, 1:]], axis=-1)
+    return v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+
+
+def one_concat(v, H, W):
+    v = v.reshape(B * M, H, W, D)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    t = jnp.concatenate(
+        [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+        axis=-1,
+    )
+    return t.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+
+
+def dus(v, H, W):
+    v = v.reshape(B * M, H, W, D)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((B * M, H + 1, W + 1, 4 * D), v.dtype)
+    for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        out = jax.lax.dynamic_update_slice(
+            out, vp[:, dy : dy + H + 1, dx : dx + W + 1], (0, 0, 0, k * D)
+        )
+    return out.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+
+
+def patches(v, H, W):
+    v = v.reshape(B * M, H, W, D)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # NHWC 2x2 patch extraction; output channel order is (c, ky, kx) ->
+    # need (ky, kx, c); take the cost of its native order as the bound
+    p = jax.lax.conv_general_dilated_patches(
+        vp, (2, 2), (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return p.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+
+
+def bench(fn, n=30):
+    key = jax.random.PRNGKey(0)
+    vals = [
+        jax.random.normal(key, (B * M, H * W, D), jnp.bfloat16)
+        for (H, W) in LEVELS
+    ]
+
+    @jax.jit
+    def step(vals, eps):
+        outs = []
+        for v, (H, W) in zip(vals, LEVELS):
+            t = fn(v + eps, H, W)
+            outs.append(jnp.sum(t[:, :: 997, :1].astype(jnp.float32)))
+        return jnp.stack(outs).sum()
+
+    # warmup/compile
+    float(step(vals, jnp.bfloat16(0.0)))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(n):
+        acc += float(step(vals, jnp.bfloat16(i * 1e-30)))
+    dt = (time.perf_counter() - t0) / n * 1e3
+    return dt
+
+
+@jax.jit
+def _null(vals, eps):
+    return jnp.stack([jnp.sum(v[:, ::997, :1].astype(jnp.float32)) for v in vals]).sum() + eps
+
+
+def bench_null(n=30):
+    key = jax.random.PRNGKey(0)
+    vals = [
+        jax.random.normal(key, (B * M, H * W, D), jnp.bfloat16)
+        for (H, W) in LEVELS
+    ]
+    float(_null(vals, 0.0))
+    t0 = time.perf_counter()
+    for i in range(n):
+        float(_null(vals, i * 1e-30))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+if __name__ == "__main__":
+    null = bench_null()
+    print(f"null dispatch floor: {null:.2f} ms")
+    for name, fn in [
+        ("two_concat", two_concat),
+        ("one_concat", one_concat),
+        ("dus", dus),
+        ("patches", patches),
+    ]:
+        try:
+            dt = bench(fn)
+            print(f"{name:12s}: {dt:.2f} ms total ({dt - null:.2f} net, all 3 levels x 1 layer)")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s}: FAILED {type(e).__name__}: {e}")
