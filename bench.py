@@ -103,7 +103,15 @@ def main():
                 logits, masks, thing_mask,
                 object_mask_threshold=0.8, overlap_threshold=0.8, topk=150,
             )
-            return post["sem_seg_argmax"], post["panoptic_seg"], post["scores"]
+            # wire format: label maps are LOSSLESS uint8 (19 classes; <=150
+            # panoptic segment ids) — device->host transfer is part of the
+            # serving cost and i32 maps triple it (~1 s/GB through the
+            # tunnel, and PCIe DMA in any real deployment)
+            return (
+                post["sem_seg_argmax"].astype(jnp.uint8),
+                post["panoptic_seg"].astype(jnp.uint8),
+                post["scores"],
+            )
 
         return jax.lax.map(post_one, (out["pred_logits"], out["pred_masks"]))
 

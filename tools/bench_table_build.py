@@ -44,6 +44,23 @@ def one_concat(v, H, W):
     return t.reshape(B * M, (H + 1) * (W + 1), 4 * D)
 
 
+def flat_concat(v, H, W):
+    """Stride-preserving layout: table keeps the padded row stride (W+2), so
+    every corner is a STATIC sublane offset of the flattened (S, D) array —
+    no per-row boundary handling. Gather indices become iy*(W+2)+ix (one
+    unused row per y; never indexed)."""
+    v = v.reshape(B * M, H, W, D)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    vpf = vp.reshape(B * M, (H + 2) * (W + 2), D)
+    vpf = jnp.pad(vpf, ((0, 0), (0, 1), (0, 0)))
+    N = (H + 1) * (W + 2)
+    t = jnp.concatenate(
+        [vpf[:, :N], vpf[:, 1 : N + 1], vpf[:, W + 2 : N + W + 2], vpf[:, W + 3 : N + W + 3]],
+        axis=-1,
+    )
+    return t
+
+
 def dus(v, H, W):
     v = v.reshape(B * M, H, W, D)
     vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -115,6 +132,7 @@ if __name__ == "__main__":
     for name, fn in [
         ("two_concat", two_concat),
         ("one_concat", one_concat),
+        ("flat_concat", flat_concat),
         ("dus", dus),
         ("patches", patches),
     ]:

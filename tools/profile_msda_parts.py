@@ -1,0 +1,120 @@
+"""In-context decomposition of the ms_deform_attn op cost on the real chip.
+
+Times, with the trusted lax.scan harness (tools/profile_stages.py::timed):
+  full op        — production ms_deform_attn at seg-forward shapes
+  tables only    — the packed corner-table build for all 3 levels
+  gather+reduce  — the op with PREBUILT tables as inputs (isolates the
+                   per-head gathers + MXU corner reduction + loc math)
+  loc+w16 only   — sampling-location/corner-weight math without gathers
+
+This separates "structural floor" (gathers) from "removable" (table build)
+without the dispatch-floor noise of tools/bench_table_build.py.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uni_encoder_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from profile_stages import timed  # noqa: E402
+from uni_encoder_tpu.ops.ms_deform_attn import ms_deform_attn, _reduction_mats  # noqa: E402
+
+B, M, D, P = 1, 8, 32, 4
+SHAPES = ((128, 256), (64, 128), (32, 64))
+L = len(SHAPES)
+S = sum(h * w for h, w in SHAPES)
+Lq = S
+
+
+def build_tables(value):
+    value_hm = jnp.transpose(value, (0, 2, 1, 3))
+    tables = []
+    start = 0
+    for H, W in SHAPES:
+        HW = H * W
+        v = value_hm[:, :, start : start + HW].reshape(B * M, H, W, D)
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        t = jnp.concatenate(
+            [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+            axis=-1,
+        )
+        tables.append(t.reshape(B * M, (H + 1) * (W + 1), 4 * D))
+        start += HW
+    return tables
+
+
+def loc_w16(loc_m, w_m):
+    outs = []
+    for lvl, (H, W) in enumerate(SHAPES):
+        loc = loc_m[:, :, :, lvl]
+        fx = loc[..., 0] * W - 0.5
+        fy = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wxb = fx - x0
+        wyb = fy - y0
+        inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+        wlb = w_m[:, :, :, lvl] * inside
+        ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+        iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+        lin = (iy * (W + 1) + ix).reshape(B * M, Lq * P)
+        w16 = jnp.stack(
+            [(1 - wyb) * (1 - wxb), (1 - wyb) * wxb, wyb * (1 - wxb), wyb * wxb],
+            axis=-1,
+        ) * wlb[..., None]
+        outs.append((lin, w16.reshape(B, M, Lq, P * 4)))
+    return outs
+
+
+def gather_reduce(tables, loc_m, w_m):
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    E_np, S_np = _reduction_mats(P, D)
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl, (lin, w16) in enumerate(loc_w16(loc_m, w_m)):
+        v = tables[lvl]
+        g_dtype = v.dtype
+        E_m = jnp.asarray(E_np, g_dtype)
+        S_m = jnp.asarray(S_np, g_dtype)
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            wrow = jnp.dot(w16[b, m].astype(g_dtype), E_m, preferred_element_type=g_dtype)
+            acc_heads.append(
+                jnp.dot(g.reshape(Lq, P * 4 * D) * wrow, S_m, preferred_element_type=jnp.float32)
+            )
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(B, Lq, M, L, P, 2), jnp.float32)
+    wts = jax.nn.softmax(jnp.asarray(rng.randn(B, Lq, M, L * P), jnp.float32)).reshape(
+        B, Lq, M, L, P
+    )
+    loc_m = jnp.transpose(loc, (0, 2, 1, 3, 4, 5))
+    w_m = jnp.transpose(wts, (0, 2, 1, 3, 4))
+
+    timed("full ms_deform_attn op", lambda v, l, w: ms_deform_attn(v, SHAPES, l, w), value, loc, wts)
+    timed("tables only (3 levels)", build_tables, value)
+    tables = jax.jit(build_tables)(value)
+    timed("gather+reduce+loc (prebuilt tables)", gather_reduce, tables, loc_m, w_m)
+    timed("loc+w16 only", loc_w16, loc_m, w_m)
+
+
+if __name__ == "__main__":
+    main()
