@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_kernel(
-    scores_ref,  # (1, Qp) f32 — keep-masked scores (-1/-2 means dropped/pad)
+    scores_ref,  # (2, Qp) f32 — row 0: where(drop, 0, score); row 1: where(drop, -1, 0)
     clsprob_ref,  # (Kp, Qp) f32 — softmax class probabilities (padded)
     masks_ref,  # (hp, Qp, wp) bf16 — edge-padded, (rows, Q, cols) layout
     sem_ref,  # out block (1, 1, bh, w) i32
@@ -154,11 +154,12 @@ def _fused_kernel(
 
     # ---- panoptic winner; dropped/padded queries get exactly -1 like the
     # unfused prob_masks (-1 ties decide the winner at all-dropped pixels,
-    # which feeds the areas)
-    scores = scores_ref[0, :]
-    scores_b = jnp.broadcast_to(scores[None, :, None], (bh, Qp, w))
-    drop_f = jnp.clip(jnp.sign(-scores_b), 0.0, 1.0)
-    prob = drop_f * jnp.float32(-1.0) + (1.0 - drop_f) * sig * scores_b
+    # which feeds the areas). The drop logic is precomputed per query as
+    # (gated score, additive offset): prob = sig * ks + off — 2 big-array
+    # ops instead of the former sign/clip/blend chain.
+    ks_b = jnp.broadcast_to(scores_ref[0, :][None, :, None], (bh, Qp, w))
+    off_b = jnp.broadcast_to(scores_ref[1, :][None, :, None], (bh, Qp, w))
+    prob = sig * ks_b + off_b
     ids = jnp.argmax(prob, axis=1).astype(jnp.int32)  # (bh, w)
     ids_ref[0, 0] = ids
     ids_b = jnp.broadcast_to(ids[:, None, :], (bh, Qp, w))
@@ -174,18 +175,25 @@ def _fused_kernel(
     sig_sum_ref[0, :] += jnp.sum(sig * bin_f, axis=(0, 2))
 
     # ---- boxes: global pixel coords, arithmetic masking (empty masks give
-    # +/-1e9, gated by bin_area in the epilogue)
+    # +/-1e9, gated by bin_area in the epilogue). The coordinate grids are
+    # constant along one axis each, so the reduction factors: first reduce
+    # bin_f along that axis (one big-array pass), then do the coord
+    # arithmetic on the small (Qp, w) / (bh, Qp) faces — replaces 12
+    # big-array passes with 2.
+    anyc = jnp.max(bin_f, axis=0)  # (Qp, w)
+    anyr = jnp.max(bin_f, axis=2)  # (bh, Qp)
     colf = (
-        jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 2) * 4 + jx
+        jax.lax.broadcasted_iota(jnp.int32, (Qp, w), 1) * 4 + jx
     ).astype(jnp.float32)
     rowf = (
-        (jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 0) + band * bh) * 4 + jy
+        (jax.lax.broadcasted_iota(jnp.int32, (bh, Qp), 0) + band * bh) * 4 + jy
     ).astype(jnp.float32)
-    pen = (1.0 - bin_f) * jnp.float32(1e9)
-    box_ref[0, :] = jnp.minimum(box_ref[0, :], jnp.min(colf + pen, axis=(0, 2)))
-    box_ref[1, :] = jnp.minimum(box_ref[1, :], jnp.min(rowf + pen, axis=(0, 2)))
-    box_ref[2, :] = jnp.maximum(box_ref[2, :], jnp.max(colf - pen, axis=(0, 2)))
-    box_ref[3, :] = jnp.maximum(box_ref[3, :], jnp.max(rowf - pen, axis=(0, 2)))
+    penc = (1.0 - anyc) * jnp.float32(1e9)
+    penr = (1.0 - anyr) * jnp.float32(1e9)
+    box_ref[0, :] = jnp.minimum(box_ref[0, :], jnp.min(colf + penc, axis=1))
+    box_ref[1, :] = jnp.minimum(box_ref[1, :], jnp.min(rowf + penr, axis=0))
+    box_ref[2, :] = jnp.maximum(box_ref[2, :], jnp.max(colf - penc, axis=1))
+    box_ref[3, :] = jnp.maximum(box_ref[3, :], jnp.max(rowf - penr, axis=0))
 
 
 def _deinterleave(phases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -244,7 +252,13 @@ def fused_multitask_inference(
 
     cls_prob = jnp.zeros((Kp, Qp), f32)
     cls_prob = cls_prob.at[:K, :Q].set(probs[:, :-1].T)
+    # row 0: multiplicative score (0 for dropped/padded); row 1: additive
+    # offset (-1 for dropped/padded) — prob = sig * ks + off in-kernel
     kscores_p = jnp.full((1, Qp), -2.0, f32).at[0, :Q].set(kscores)
+    kvec = jnp.concatenate(
+        [jnp.where(kscores_p < 0, 0.0, kscores_p), jnp.where(kscores_p < 0, -1.0, 0.0)],
+        axis=0,
+    )  # (2, Qp)
 
     grid = (n_bands, 16)
     out_shape = [
@@ -267,7 +281,7 @@ def fused_multitask_inference(
         grid=grid,
         out_shape=out_shape,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # scores (1, Qp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scores (2, Qp)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # clsprob (Kp, Qp)
             pl.BlockSpec(memory_space=pltpu.ANY),  # masks (DMA'd)
         ],
@@ -286,7 +300,7 @@ def fused_multitask_inference(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(kscores_p, cls_prob, mp)
+    )(kvec, cls_prob, mp)
 
     sem_seg = _deinterleave(sem_ph, H, W)
     ids_map = _deinterleave(ids_ph, H, W)

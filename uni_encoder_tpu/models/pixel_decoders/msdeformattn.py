@@ -105,20 +105,29 @@ class MSDeformAttnModule(nn.Module):
             bias_init=_sampling_offsets_bias_init(M, L, P),
             name="sampling_offsets",
         )(query)
-        offsets = offsets.reshape(B, N, M, L, P, 2)
         weights = nn.Dense(
             M * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query)
-        weights = jax.nn.softmax(weights.reshape(B, N, M, L * P), axis=-1).reshape(B, N, M, L, P)
+
+        # component-major producer chain (N on LANES): one transpose of each
+        # Dense output, then softmax / offset normalization run fully
+        # vectorized instead of on minor dims of 12 / 2 (see
+        # ops/ms_deform_attn.py layout notes)
+        off_cm = jnp.transpose(offsets, (0, 2, 1)).reshape(B, M, L, P, 2, N)
+        w_cm = jnp.transpose(weights, (0, 2, 1)).reshape(B, M, L * P, N)
+        w_cm = jax.nn.softmax(w_cm, axis=2).reshape(B, M, L, P, N)
 
         # normalize offsets by each target level's (W, H)
         wh = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L, 2)
-        loc = reference_points[None, :, None, None, None, :] + offsets / wh[None, None, None, :, None, :]
+        loc_cm = (
+            jnp.transpose(reference_points, (1, 0))[None, None, None, None]
+            + off_cm / wh.reshape(1, 1, L, 1, 2, 1)
+        )
 
-        out = ms_deform_attn(value, spatial_shapes, loc, weights)
+        out = ms_deform_attn(value, spatial_shapes, loc_cm, w_cm, layout="cm")
         return nn.Dense(
             C, kernel_init=nn.initializers.xavier_uniform(), name="output_proj"
         )(out)

@@ -69,6 +69,7 @@ def ms_deform_attn(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    layout: str = "q",
 ) -> jnp.ndarray:
     """TPU-optimized formulation: one 2x2xD patch-gather per (level, point)
     from zero-padded maps — the padding realizes grid_sample's zero padding
@@ -87,20 +88,29 @@ def ms_deform_attn(
     training falls back to the batched gather to bound op count.
     """
     B, S, M, D = value.shape
-    _, Lq, _, L, P, _ = sampling_locations.shape
-    assert len(spatial_shapes) == L
     assert sum(h * w for h, w in spatial_shapes) == S
+    L = len(spatial_shapes)
 
     orig_dtype = value.dtype
-    # ONE M-major relayout of locations/weights up front; all per-level math
-    # then runs in the (B, M, Lq, ...) layout the gathers need (measured:
-    # the former 12 per-level small transposes cost ~2.7 ms/layer)
-    sampling_locations = jnp.transpose(
-        sampling_locations.astype(jnp.float32), (0, 2, 1, 3, 4, 5)
-    )  # (B, M, Lq, L, P, 2)
-    attention_weights = jnp.transpose(
-        attention_weights.astype(jnp.float32), (0, 2, 1, 3, 4)
-    )  # (B, M, Lq, L, P)
+    # ALL per-level elementwise math runs component-major, Lq on LANES. The
+    # former (B, M, Lq, P)/(…, 2) layouts put P=4 / xy=2 on lanes — 4/128
+    # lane utilization — and cost a measured 6.15 ms/layer of pure VPU math
+    # (tools/profile_msda_parts.py); component-major runs the identical ops
+    # fully vectorized. Callers that already produce component-major tensors
+    # (layout="cm": locations (B, M, L, P, 2, Lq), weights (B, M, L, P, Lq))
+    # skip the relayout entirely.
+    if layout == "cm":
+        _, _, _, P, _, Lq = sampling_locations.shape
+        sampling_locations = sampling_locations.astype(jnp.float32)
+        attention_weights = attention_weights.astype(jnp.float32)
+    else:
+        _, Lq, _, _, P, _ = sampling_locations.shape
+        sampling_locations = jnp.transpose(
+            sampling_locations.astype(jnp.float32), (0, 2, 3, 4, 5, 1)
+        )  # (B, M, L, P, 2, Lq)
+        attention_weights = jnp.transpose(
+            attention_weights.astype(jnp.float32), (0, 2, 3, 4, 1)
+        )  # (B, M, L, P, Lq)
     unroll_heads = B * M <= 16
 
     dnums = jax.lax.GatherDimensionNumbers(
@@ -126,23 +136,26 @@ def ms_deform_attn(
         v = v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
         start += HW
 
-        loc = sampling_locations[:, :, :, lvl]  # (B, M, Lq, P, 2)
-        fx = loc[..., 0] * W - 0.5
-        fy = loc[..., 1] * H - 0.5
+        loc = sampling_locations[:, :, lvl]  # (B, M, P, 2, Lq)
+        fx = loc[:, :, :, 0] * W - 0.5  # (B, M, P, Lq) — Lq on lanes
+        fy = loc[:, :, :, 1] * H - 0.5
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
-        wxb = fx - x0  # (B, M, Lq, P)
+        wxb = fx - x0  # (B, M, P, Lq)
         wyb = fy - y0
         # patches fully outside the map contribute nothing
         inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
-        wlb = attention_weights[:, :, :, lvl] * inside  # (B, M, Lq, P)
+        wlb = attention_weights[:, :, lvl] * inside  # (B, M, P, Lq)
 
         ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
         iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
-        lin = (iy * (W + 1) + ix).reshape(B * M, Lq * P)  # flat (y0, x0) rows
+        # gather wants q-major (Lq*P) index rows: one int relayout per level
+        lin = (iy * (W + 1) + ix)  # (B, M, P, Lq)
+        lin = jnp.transpose(lin, (0, 1, 3, 2)).reshape(B * M, Lq * P)
         # per-(point, corner) weights in gather-channel order
-        # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight;
-        # (B, M, Lq, P*4) with k = p*4 + c matching g's packed lane layout
+        # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight; built
+        # component-major as (B, M, P, 4, Lq) then relayed out once to the
+        # (B, M, Lq, P*4) rows the MXU reduction consumes (k = p*4 + c)
         w16 = jnp.stack(
             [
                 (1 - wyb) * (1 - wxb),
@@ -150,9 +163,9 @@ def ms_deform_attn(
                 wyb * (1 - wxb),
                 wyb * wxb,
             ],
-            axis=-1,
-        ) * wlb[..., None]
-        w16 = w16.reshape(B, M, Lq, P * 4)
+            axis=3,
+        ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
+        w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
 
         E_np, S_np = _reduction_mats(P, D)
         g_dtype = v.dtype
