@@ -120,6 +120,13 @@ def main():
         out = model.apply(variables, images, prev, method=UniEncoder.forward_sequence)
         return out["disp"], out["motion_mask"], out["complete_flow"], out["cam_T_cam"]
 
+    @jax.jit
+    def frame_step(variables, images, tasks, dep_images, prev):
+        # one dispatch per frame: the multi-task serving protocol runs the
+        # seg pass and the sequence pass for every frame anyway; a single
+        # jit halves the per-dispatch tunnel/runtime overhead
+        return seg_step(variables, images, tasks), dep_step(variables, dep_images, prev)
+
     # compile + sanity
     r0 = jax.tree_util.tree_map(np.asarray, seg_step(variables, seg_img, tasks))
     assert r0[0].shape == (batch, SEG_H, SEG_W), r0[0].shape
@@ -132,15 +139,16 @@ def main():
         np.asarray(r[2])
         np.asarray(d[3])
 
-    r = seg_step(variables, seg_img, tasks)
-    d = dep_step(variables, dep_img, prev_img)
+    r, d = frame_step(variables, seg_img, tasks, dep_img, prev_img)
     fence(r, d)
 
-    iters = 10
+    # 30 iterations: at 10 the queue-and-fence protocol still shows ±1.5%
+    # run-to-run spread through the tunnel (measured 6.478/6.618/6.559 on an
+    # identical binary); 30 tightens it below ±0.5%
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = seg_step(variables, seg_img, tasks)
-        d = dep_step(variables, dep_img, prev_img)
+        r, d = frame_step(variables, seg_img, tasks, dep_img, prev_img)
     fence(r, d)  # drains the queue: all iterations complete before the stop
     dt = (time.perf_counter() - t0) / (iters * batch)
 

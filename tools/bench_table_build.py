@@ -61,6 +61,42 @@ def flat_concat(v, H, W):
     return t
 
 
+@functools.lru_cache(maxsize=4)
+def _emats(D):
+    E = np.zeros((4, D, 4 * D), np.float32)
+    for k in range(4):
+        E[k, :, k * D : (k + 1) * D] = np.eye(D)
+    return E
+
+
+def mxu_expand(v, H, W):
+    """Flat-stride table via 4 MXU lane-expansion matmuls: each corner is a
+    contiguous shifted view of the flat padded map matmul'd with a constant
+    0/1 (D, 4D) placement matrix; the adds accumulate the disjoint lane
+    groups. Exact in bf16 (x*1+0 through the f32 MXU accumulator)."""
+    v = v.reshape(B * M, H, W, D)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    vpf = vp.reshape(B * M, (H + 2) * (W + 2), D)
+    vpf = jnp.pad(vpf, ((0, 0), (0, 1), (0, 0)))
+    N = (H + 1) * (W + 2)
+    E = _emats(D)
+    t = None
+    for k, off in enumerate((0, 1, W + 2, W + 3)):
+        p = jax.lax.dot_general(
+            vpf[:, off : off + N],
+            jnp.asarray(E[k], v.dtype),
+            (((2,), (0,)), ((), ())),
+        )
+        t = p if t is None else t + p
+    return t
+
+
+def flat_concat_f32(v, H, W):
+    """flat_concat at f32: 128-byte interleave chunks instead of 64-byte
+    (gather cost is dtype-independent per BASELINE.md; table doubles)."""
+    return flat_concat(v.astype(jnp.float32), H, W)
+
+
 def dus(v, H, W):
     v = v.reshape(B * M, H, W, D)
     vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -84,45 +120,90 @@ def patches(v, H, W):
 
 
 def bench(fn, n=30):
+    """The consumer is a small dynamic-index GATHER per level: gather
+    operands must be materialized (XLA cannot fuse or dead-code the table
+    away, which it demonstrably does for cheap slice consumers — a
+    ::997,:1 slice read makes every concat variant measure ~0 net)."""
     key = jax.random.PRNGKey(0)
     vals = [
         jax.random.normal(key, (B * M, H * W, D), jnp.bfloat16)
         for (H, W) in LEVELS
     ]
+    NG = 4096
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
 
     @jax.jit
     def step(vals, eps):
         outs = []
         for v, (H, W) in zip(vals, LEVELS):
             t = fn(v + eps, H, W)
-            outs.append(jnp.sum(t[:, :: 997, :1].astype(jnp.float32)))
+            nrows = t.shape[1]
+            # dynamic (input-derived) indices: not constant-foldable
+            idx = (
+                jnp.cumsum(jnp.abs(v[0, :NG, 0]).astype(jnp.int32) + 1)
+                % nrows
+            )
+            for i in range(B * M):
+                g = jax.lax.gather(
+                    t[i], idx[:, None], dnums, slice_sizes=(1, t.shape[2]),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )
+                outs.append(jnp.sum(g.astype(jnp.float32)))
         return jnp.stack(outs).sum()
 
-    # warmup/compile
+    # warmup/compile, then queue all n dispatches and fence ONCE (the
+    # production bench.py protocol: per-dispatch tunnel noise ~±4 ms would
+    # otherwise swamp millisecond-scale differences)
     float(step(vals, jnp.bfloat16(0.0)))
     t0 = time.perf_counter()
-    acc = 0.0
+    r = None
     for i in range(n):
-        acc += float(step(vals, jnp.bfloat16(i * 1e-30)))
+        r = step(vals, jnp.bfloat16((i + 1) * 1e-30))
+    float(r)
     dt = (time.perf_counter() - t0) / n * 1e3
     return dt
 
 
-@jax.jit
-def _null(vals, eps):
-    return jnp.stack([jnp.sum(v[:, ::997, :1].astype(jnp.float32)) for v in vals]).sum() + eps
-
-
 def bench_null(n=30):
+    """Dispatch + gather floor: same gathers as bench() but from PREBUILT
+    tables passed as inputs — subtracting isolates the build cost."""
     key = jax.random.PRNGKey(0)
     vals = [
         jax.random.normal(key, (B * M, H * W, D), jnp.bfloat16)
         for (H, W) in LEVELS
     ]
-    float(_null(vals, 0.0))
+    tables = [flat_concat(v, H, W) for v, (H, W) in zip(vals, LEVELS)]
+    tables = [jax.device_put(t) for t in tables]
+    NG = 4096
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+
+    @jax.jit
+    def step(vals, tables, eps):
+        outs = []
+        for v, t in zip(vals, tables):
+            nrows = t.shape[1]
+            idx = (
+                jnp.cumsum(jnp.abs(v[0, :NG, 0] + eps).astype(jnp.int32) + 1)
+                % nrows
+            )
+            for i in range(B * M):
+                g = jax.lax.gather(
+                    t[i], idx[:, None], dnums, slice_sizes=(1, t.shape[2]),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )
+                outs.append(jnp.sum(g.astype(jnp.float32)))
+        return jnp.stack(outs).sum()
+
+    float(step(vals, tables, jnp.bfloat16(0.0)))
     t0 = time.perf_counter()
+    r = None
     for i in range(n):
-        float(_null(vals, i * 1e-30))
+        r = step(vals, tables, jnp.bfloat16((i + 1) * 1e-30))
+    float(r)
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -133,6 +214,8 @@ if __name__ == "__main__":
         ("two_concat", two_concat),
         ("one_concat", one_concat),
         ("flat_concat", flat_concat),
+        ("mxu_expand", mxu_expand),
+        ("flat_f32", flat_concat_f32),
         ("dus", dus),
         ("patches", patches),
     ]:

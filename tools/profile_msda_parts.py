@@ -50,6 +50,25 @@ def build_tables(value):
     return tables
 
 
+def build_tables_patches(value):
+    """Production build since r3: im2col patches (channel-major rows)."""
+    value_hm = jnp.transpose(value, (0, 2, 1, 3))
+    tables = []
+    start = 0
+    for H, W in SHAPES:
+        HW = H * W
+        v = value_hm[:, :, start : start + HW].reshape(B * M, H, W, D)
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        t = jax.lax.conv_general_dilated_patches(
+            vp, (2, 2), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tables.append(t.reshape(B * M, (H + 1) * (W + 1), 4 * D))
+        start += HW
+    return tables
+
+
 def loc_w16(loc_m, w_m):
     outs = []
     for lvl, (H, W) in enumerate(SHAPES):
@@ -111,6 +130,7 @@ def main():
 
     timed("full ms_deform_attn op", lambda v, l, w: ms_deform_attn(v, SHAPES, l, w), value, loc, wts)
     timed("tables only (3 levels)", build_tables, value)
+    timed("tables only (patches im2col)", build_tables_patches, value)
     tables = jax.jit(build_tables)(value)
     timed("gather+reduce+loc (prebuilt tables)", gather_reduce, tables, loc_m, w_m)
     timed("loc+w16 only", loc_w16, loc_m, w_m)

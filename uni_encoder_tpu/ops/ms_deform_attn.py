@@ -40,7 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
 @functools.lru_cache(maxsize=8)
 def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
     """Constant 0/1 matrices that turn the corner-weighted reduction into
@@ -123,12 +122,15 @@ def ms_deform_attn(
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         HW = H * W
-        v = value_hm[:, :, start : start + HW]
-        v = v.reshape(B * M, H, W, D)
+        v = value_hm[:, :, start : start + HW].reshape(B * M, H, W, D)
         vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
         # ONE 4-operand concat (measured 2.85 vs 4.87 ms/layer for the
-        # two-stage x-pairs/y-pairs concat: the intermediate (H+2, W+1, 2D)
-        # materialization is pure extra HBM traffic — tools/bench_table_build.py)
+        # two-stage x-pairs/y-pairs concat). NOTE (r3, profile_msda_parts):
+        # in the full op the table build overlaps the scalar-unit-bound
+        # gathers almost completely (full op 16.93 ms/layer vs 16.14 with
+        # prebuilt tables) — build variants (im2col patches, flat-stride,
+        # Pallas DMA packer) cannot win more than ~0.8 ms/layer and all
+        # measured neutral-to-worse in context; see BASELINE.md.
         v = jnp.concatenate(
             [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
             axis=-1,
@@ -173,7 +175,9 @@ def ms_deform_attn(
         S_m = jnp.asarray(S_np, g_dtype)
 
         def reduce_rows(g_rows, w_rows):
-            # g_rows (N, P*4*D), w_rows (N, P*4) -> (N, D) f32
+            # g_rows (N, P*4*D), w_rows (N, P*4) -> (N, D) f32. The f32->bf16
+            # cast fuses into the dot read; transposing w16 at bf16 instead
+            # is NOT a win (sub-word relayout penalty).
             wrow = jnp.dot(
                 w_rows.astype(g_dtype), E_m, preferred_element_type=g_dtype
             )
