@@ -113,21 +113,26 @@ class MSDeformAttnModule(nn.Module):
         )(query)
 
         # component-major producer chain (N on LANES): one transpose of each
-        # Dense output, then softmax / offset normalization run fully
-        # vectorized instead of on minor dims of 12 / 2 (see
-        # ops/ms_deform_attn.py layout notes)
+        # Dense output, then softmax / location math run fully vectorized
+        # instead of on minor dims of 12 / 2 (see ops/ms_deform_attn.py
+        # layout notes)
         off_cm = jnp.transpose(offsets, (0, 2, 1)).reshape(B, M, L, P, 2, N)
         w_cm = jnp.transpose(weights, (0, 2, 1)).reshape(B, M, L * P, N)
         w_cm = jax.nn.softmax(w_cm, axis=2).reshape(B, M, L, P, N)
 
-        # normalize offsets by each target level's (W, H)
-        wh = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L, 2)
-        loc_cm = (
-            jnp.transpose(reference_points, (1, 0))[None, None, None, None]
-            + off_cm / wh.reshape(1, 1, L, 1, 2, 1)
-        )
+        # ABSOLUTE source coordinates: the reference normalizes offsets by
+        # the target level's (W, H) and the sampling core rescales by the
+        # same (W, H) — the two cancel, so fx = (ref_x*W - 0.5) + off_x
+        # exactly (one fewer rounding than the reference's normalize ->
+        # rescale round trip). The ref-scaled grid is a precomputed constant.
+        ref_cm = jnp.transpose(reference_points.astype(jnp.float32), (1, 0))  # (2, N)
+        wh = jnp.asarray(
+            [[[w], [h]] for (h, w) in spatial_shapes], jnp.float32
+        )  # (L, 2, 1)
+        ref_abs = ref_cm[None] * wh - 0.5  # (L, 2, N)
+        loc_cm = ref_abs[None, None, :, None] + off_cm  # (B, M, L, P, 2, N)
 
-        out = ms_deform_attn(value, spatial_shapes, loc_cm, w_cm, layout="cm")
+        out = ms_deform_attn(value, spatial_shapes, loc_cm, w_cm, layout="cm_abs")
         return nn.Dense(
             C, kernel_init=nn.initializers.xavier_uniform(), name="output_proj"
         )(out)

@@ -98,7 +98,12 @@ def ms_deform_attn(
     # fully vectorized. Callers that already produce component-major tensors
     # (layout="cm": locations (B, M, L, P, 2, Lq), weights (B, M, L, P, Lq))
     # skip the relayout entirely.
-    if layout == "cm":
+    if layout in ("cm", "cm_abs"):
+        # "cm_abs": locations are ABSOLUTE source coordinates fx, fy (the
+        # grid_sample map loc*W - 0.5 already applied by the caller, who
+        # folds it into the reference-point constants — the reference's
+        # offsets/wh normalization and the op's *W rescale cancel exactly;
+        # see MSDeformAttnLayer).
         _, _, _, P, _, Lq = sampling_locations.shape
         sampling_locations = sampling_locations.astype(jnp.float32)
         attention_weights = attention_weights.astype(jnp.float32)
@@ -139,8 +144,12 @@ def ms_deform_attn(
         start += HW
 
         loc = sampling_locations[:, :, lvl]  # (B, M, P, 2, Lq)
-        fx = loc[:, :, :, 0] * W - 0.5  # (B, M, P, Lq) — Lq on lanes
-        fy = loc[:, :, :, 1] * H - 0.5
+        if layout == "cm_abs":
+            fx = loc[:, :, :, 0]  # (B, M, P, Lq) — Lq on lanes
+            fy = loc[:, :, :, 1]
+        else:
+            fx = loc[:, :, :, 0] * W - 0.5
+            fy = loc[:, :, :, 1] * H - 0.5
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
         wxb = fx - x0  # (B, M, P, Lq)
