@@ -69,27 +69,61 @@ def build_tables_patches(value):
     return tables
 
 
-def loc_w16(loc_m, w_m):
+def loc_w16(loc_cm, w_cm):
+    """Mirror of the PRODUCTION component-major cm_abs loc math
+    (ops/ms_deform_attn.py level loop): loc_cm (B, M, L, P, 2, Lq) absolute
+    coords, w_cm (B, M, L, P, Lq). Returns per-level q-major (lin, w16)."""
     outs = []
     for lvl, (H, W) in enumerate(SHAPES):
-        loc = loc_m[:, :, :, lvl]
-        fx = loc[..., 0] * W - 0.5
-        fy = loc[..., 1] * H - 0.5
+        loc = loc_cm[:, :, lvl]  # (B, M, P, 2, Lq)
+        fx = loc[:, :, :, 0]
+        fy = loc[:, :, :, 1]
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
         wxb = fx - x0
         wyb = fy - y0
         inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
-        wlb = w_m[:, :, :, lvl] * inside
+        wlb = w_cm[:, :, lvl] * inside  # (B, M, P, Lq)
         ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
         iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
-        lin = (iy * (W + 1) + ix).reshape(B * M, Lq * P)
+        lin = iy * (W + 1) + ix  # (B, M, P, Lq)
+        lin = jnp.transpose(lin, (0, 1, 3, 2)).reshape(B * M, Lq * P)
         w16 = jnp.stack(
             [(1 - wyb) * (1 - wxb), (1 - wyb) * wxb, wyb * (1 - wxb), wyb * wxb],
-            axis=-1,
-        ) * wlb[..., None]
-        outs.append((lin, w16.reshape(B, M, Lq, P * 4)))
+            axis=3,
+        ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
+        w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+        outs.append((lin, w16))
     return outs
+
+
+def gather_reduce_pure(tables, lins, w16s):
+    """Gathers + MXU corner reduction ONLY — indices/weights prebuilt.
+    The structural floor of the op."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    E_np, S_np = _reduction_mats(P, D)
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w16 = lins[lvl], w16s[lvl]
+        v = tables[lvl]
+        g_dtype = v.dtype
+        E_m = jnp.asarray(E_np, g_dtype)
+        S_m = jnp.asarray(S_np, g_dtype)
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            wrow = jnp.dot(w16[b, m].astype(g_dtype), E_m, preferred_element_type=g_dtype)
+            acc_heads.append(
+                jnp.dot(g.reshape(Lq, P * 4 * D) * wrow, S_m, preferred_element_type=jnp.float32)
+            )
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
 def gather_reduce(tables, loc_m, w_m):
@@ -127,13 +161,25 @@ def main():
     )
     loc_m = jnp.transpose(loc, (0, 2, 1, 3, 4, 5))
     w_m = jnp.transpose(wts, (0, 2, 1, 3, 4))
+    # production cm_abs inputs: absolute coords, component-major
+    wh = jnp.asarray(
+        [[[w], [h]] for (h, w) in SHAPES], jnp.float32
+    ).reshape(1, 1, L, 1, 2, 1)
+    loc_abs_cm = loc_m * wh - 0.5
 
-    timed("full ms_deform_attn op", lambda v, l, w: ms_deform_attn(v, SHAPES, l, w), value, loc, wts)
+    timed(
+        "full op (cm_abs, production)",
+        lambda v, l, w: ms_deform_attn(v, SHAPES, l, w, layout="cm_abs"),
+        value, loc_abs_cm, w_m,
+    )
     timed("tables only (3 levels)", build_tables, value)
-    timed("tables only (patches im2col)", build_tables_patches, value)
     tables = jax.jit(build_tables)(value)
-    timed("gather+reduce+loc (prebuilt tables)", gather_reduce, tables, loc_m, w_m)
-    timed("loc+w16 only", loc_w16, loc_m, w_m)
+    timed("gather+reduce+loc (prebuilt tables)", gather_reduce, tables, loc_abs_cm, w_m)
+    timed("loc+w16 only (production cm)", loc_w16, loc_abs_cm, w_m)
+    pre = jax.jit(loc_w16)(loc_abs_cm, w_m)
+    lins = [p[0] for p in pre]
+    w16s = [p[1] for p in pre]
+    timed("gather+reduce PURE (prebuilt idx/w)", gather_reduce_pure, tables, lins, w16s)
 
 
 if __name__ == "__main__":

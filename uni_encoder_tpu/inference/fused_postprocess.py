@@ -201,10 +201,16 @@ def _deinterleave(phases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return phases.transpose(2, 0, 3, 1).reshape(H, W)
 
 
+def deinterleave_phases_np(m: np.ndarray) -> np.ndarray:
+    """Host-side wire decode: (4, 4, h, w) phase layout -> (4h, 4w)."""
+    _, _, h, w = m.shape
+    return np.ascontiguousarray(m.transpose(2, 0, 3, 1).reshape(4 * h, 4 * w))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("object_mask_threshold", "overlap_threshold", "topk",
-                     "interpret"),
+                     "interpret", "phase_layout"),
 )
 def fused_multitask_inference(
     mask_cls: jnp.ndarray,  # (Q, K+1) logits
@@ -214,6 +220,7 @@ def fused_multitask_inference(
     overlap_threshold: float = 0.8,
     topk: int = 150,
     interpret: bool = False,
+    phase_layout: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns the union of semantic/panoptic/instance outputs at 4x the
     mask resolution, numerically matching the unfused pipeline
@@ -302,10 +309,6 @@ def fused_multitask_inference(
         interpret=interpret,
     )(kvec, cls_prob, mp)
 
-    sem_seg = _deinterleave(sem_ph, H, W)
-    ids_map = _deinterleave(ids_ph, H, W)
-    winbin_map = _deinterleave(winbin_ph, H, W)
-
     # ---------------------------------------------- per-query panoptic logic
     win_area = win_area[0, :Q]
     bin_area = bin_area[0, :Q]
@@ -336,16 +339,30 @@ def fused_multitask_inference(
     assigned = jnp.where(isthing, seg_id, stuff_id) * valid.astype(jnp.int32)
 
     # final id map: winner query's assigned id where its binary bit is set —
-    # fused broadcast-compare-reduce (no (Q, H, W) materialization)
-    pan = jnp.sum(
+    # fused broadcast-compare-reduce (no (Q, H, W) materialization). All
+    # per-pixel math runs in the PHASE-SEPARATED (4, 4, h, w) layout: the
+    # (H, W) de-interleave transpose has a minor dim of 4 (a pathological
+    # TPU relayout), so it is deferred to the very end, done at u8 (every
+    # map value < 256 — labels <= K, segment ids <= Q), and only for the two
+    # maps that leave the function.
+    pan_ph = jnp.sum(
         jnp.where(
-            ids_map[None] == q_idx[:, None, None],
-            assigned[:, None, None],
+            ids_ph[None] == q_idx[:, None, None, None, None],
+            assigned[:, None, None, None, None],
             0,
         ),
         axis=0,
     )
-    panoptic_seg = (pan * winbin_map).astype(jnp.int32)
+    panoptic_ph = (pan_ph * winbin_ph).astype(jnp.uint8)
+    sem_ph_u8 = sem_ph.astype(jnp.uint8)
+    if phase_layout:
+        # wire layout: caller de-interleaves host-side with
+        # deinterleave_phases_np (out[4k+jy, 4l+jx] = m[jy, jx, k, l])
+        sem_seg = sem_ph_u8
+        panoptic_seg = panoptic_ph
+    else:
+        sem_seg = _deinterleave(sem_ph_u8, H, W)
+        panoptic_seg = _deinterleave(panoptic_ph, H, W)
 
     # ---------------------------------------------------- instance outputs
     flat = probs[:, :-1].reshape(-1)
