@@ -1,0 +1,55 @@
+"""Streamed cross-attention: interpret-mode parity vs a reference softmax
+attention at class-transformer-like shapes (tiny Q, large K, head_dim 32)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
+
+
+def _reference(q, k, v):
+    s = jnp.einsum("hqd,hkd->hqk", q, k).astype(jnp.float32)
+    s = s * (q.shape[-1] ** -0.5)
+    a = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hqk,hkd->hqd", a, v.astype(jnp.float32))
+
+
+def test_streamed_matches_reference_f32():
+    rng = np.random.RandomState(0)
+    H, Qp, Dh, N = 4, 16, 32, 1024
+    q = jnp.asarray(rng.randn(H, Qp, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(H, N, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(H, N, Dh), jnp.float32)
+    out = streamed_cross_attention(q, k, v, block_k=256, interpret=True)
+    ref = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_bf16_close_to_f32_reference():
+    rng = np.random.RandomState(1)
+    H, Qp, Dh, N = 2, 8, 32, 512
+    qf = rng.randn(H, Qp, Dh).astype(np.float32)
+    kf = rng.randn(H, N, Dh).astype(np.float32)
+    vf = rng.randn(H, N, Dh).astype(np.float32)
+    out = streamed_cross_attention(
+        jnp.asarray(qf, jnp.bfloat16),
+        jnp.asarray(kf, jnp.bfloat16),
+        jnp.asarray(vf, jnp.bfloat16),
+        block_k=256,
+        interpret=True,
+    )
+    ref = _reference(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.05, atol=0.05
+    )
+
+
+def test_single_tile_grid():
+    rng = np.random.RandomState(2)
+    H, Qp, Dh, N = 2, 8, 32, 256
+    q = jnp.asarray(rng.randn(H, Qp, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(H, N, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(H, N, Dh), jnp.float32)
+    out = streamed_cross_attention(q, k, v, block_k=256, interpret=True)
+    ref = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

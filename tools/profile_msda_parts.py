@@ -126,6 +126,35 @@ def gather_reduce_pure(tables, lins, w16s):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
+def gather_reduce_pure_batched(tables, lins, w16s):
+    """Variant reduction: q-batched contraction einsum('qk,qkd->qd') — no
+    (Lq, P*4*D) wrow intermediate (the two-dot E/S form materializes a
+    ~42 MB dot output per head-level that cannot fuse into the next dot)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w16 = lins[lvl], w16s[lvl]
+        v = tables[lvl]
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            G = g.reshape(Lq, P * 4, D)
+            acc_heads.append(
+                jnp.einsum(
+                    "qk,qkd->qd", w16[b, m].astype(v.dtype), G,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
 def gather_reduce(tables, loc_m, w_m):
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -159,8 +188,8 @@ def main():
     wts = jax.nn.softmax(jnp.asarray(rng.randn(B, Lq, M, L * P), jnp.float32)).reshape(
         B, Lq, M, L, P
     )
-    loc_m = jnp.transpose(loc, (0, 2, 1, 3, 4, 5))
-    w_m = jnp.transpose(wts, (0, 2, 1, 3, 4))
+    loc_m = jnp.transpose(loc, (0, 2, 3, 4, 5, 1))  # (B, M, L, P, 2, Lq)
+    w_m = jnp.transpose(wts, (0, 2, 3, 4, 1))  # (B, M, L, P, Lq)
     # production cm_abs inputs: absolute coords, component-major
     wh = jnp.asarray(
         [[[w], [h]] for (h, w) in SHAPES], jnp.float32
@@ -180,6 +209,7 @@ def main():
     lins = [p[0] for p in pre]
     w16s = [p[1] for p in pre]
     timed("gather+reduce PURE (prebuilt idx/w)", gather_reduce_pure, tables, lins, w16s)
+    timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
 
 
 if __name__ == "__main__":

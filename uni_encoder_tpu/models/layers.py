@@ -47,6 +47,10 @@ class MultiheadAttention(nn.Module):
 
     embed_dim: int
     num_heads: int
+    # streamed=True enables the online-softmax Pallas kernel for huge-K
+    # unmasked cross-attention (ops/streamed_attention.py) — INFERENCE ONLY
+    # (no VJP); callers on the training path must leave it False.
+    streamed: bool = False
 
     @nn.compact
     def __call__(
@@ -73,6 +77,22 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(B, Lq, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+
+        if (
+            self.streamed
+            and attn_mask is None
+            and B == 1
+            and Lk % 2048 == 0
+            and Lk >= 16384
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.streamed_attention import streamed_cross_attention
+
+            Qp = ((Lq + 7) // 8) * 8
+            qp = jnp.pad(q[0], ((0, 0), (0, Qp - Lq), (0, 0)))
+            out = streamed_cross_attention(qp, k[0], v[0])[:, :Lq]
+            out = out.transpose(1, 0, 2).reshape(B, Lq, E)
+            return out @ out_kernel + out_bias
 
         # dtype-following logits (reference AMP computes attention matmuls in
         # half precision); softmax is jax's stable (max-subtracted) form
