@@ -155,6 +155,32 @@ def gather_reduce_pure_batched(tables, lins, w16s):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
+def gather_reduce_pure_pallas(tables, lins, w16s):
+    """Variant reduction: fused Pallas corner_weighted_reduce (both 0/1 dots
+    VMEM-tile-resident; no wrow HBM materialization)."""
+    from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w16 = lins[lvl], w16s[lvl]
+        v = tables[lvl]
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            acc_heads.append(
+                corner_weighted_reduce(g.reshape(Lq, P * 4 * D), w16[b, m], D)
+            )
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
 def gather_reduce(tables, loc_m, w_m):
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -210,6 +236,7 @@ def main():
     w16s = [p[1] for p in pre]
     timed("gather+reduce PURE (prebuilt idx/w)", gather_reduce_pure, tables, lins, w16s)
     timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
+    timed("gather+reduce PURE (pallas fused)", gather_reduce_pure_pallas, tables, lins, w16s)
 
 
 if __name__ == "__main__":

@@ -34,11 +34,16 @@ Shapes
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .corner_reduce import _tile as _pallas_tile
+from .corner_reduce import corner_weighted_reduce
+
 
 @functools.lru_cache(maxsize=8)
 def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -192,6 +197,21 @@ def ms_deform_attn(
             )
             return jnp.dot(g_rows * wrow, S_m, preferred_element_type=jnp.float32)
 
+        # On TPU the two-dot reduction's wrow intermediate is a dot output
+        # feeding another dot — it materializes to HBM (~44 MB per head-level
+        # at production shapes). The fused Pallas kernel keeps both dots
+        # VMEM-tile-resident (identical numerics; custom XLA VJP for
+        # training). Elsewhere (CPU tests, virtual meshes) keep the XLA form.
+        # Default OFF until the kernel's lowering is verified on the real
+        # chip (flip the default after a green hardware run; a lowering
+        # failure in the driver's bench would cost the whole headline run).
+        use_pallas_reduce = (
+            os.environ.get("MSDA_PALLAS_REDUCE", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and Lq % 8 == 0
+            and _pallas_tile(Lq)
+        )
+
         if unroll_heads:
             # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
             # production shapes -> VMEM-staged by XLA; the MXU reduction
@@ -203,9 +223,16 @@ def ms_deform_attn(
                     v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 )  # (LqP, 4D)
-                acc_heads.append(
-                    reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
-                )
+                if use_pallas_reduce:
+                    acc_heads.append(
+                        corner_weighted_reduce(
+                            g.reshape(Lq, P * 4 * D), w16[b, m], D
+                        )
+                    )
+                else:
+                    acc_heads.append(
+                        reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
+                    )
             acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
         else:
             quads = jax.vmap(
