@@ -53,3 +53,25 @@ def test_single_tile_grid():
     out = streamed_cross_attention(q, k, v, block_k=256, interpret=True)
     ref = _reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_mha_streamed_branch_matches_dense(monkeypatch):
+    """MultiheadAttention with streamed=True (interpret mode off-TPU) must
+    match the dense XLA path — covers the pad/slice/out-projection wiring,
+    not just the kernel."""
+    monkeypatch.setenv("STREAMED_ATTN_INTERPRET", "1")
+    from uni_encoder_tpu.models.layers import MultiheadAttention
+
+    rng = np.random.RandomState(3)
+    B, Lq, Lk, E, H = 1, 21, 16384, 64, 8  # Lq deliberately not 8-aligned
+    q = jnp.asarray(rng.randn(B, Lq, E), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Lk, E), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Lk, E), jnp.float32)
+
+    mha_s = MultiheadAttention(E, H, streamed=True)
+    variables = mha_s.init(jax.random.PRNGKey(0), q, k, v)
+    out_s = mha_s.apply(variables, q, k, v)
+    out_d = MultiheadAttention(E, H, streamed=False).apply(variables, q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_d), rtol=2e-4, atol=2e-4
+    )

@@ -1,0 +1,62 @@
+"""Hardware smoke for the two round-3 Pallas kernels at production shapes:
+lowering + numerics vs their XLA restatements, on the real chip. Cheap
+(~1 min compiles) — run this before any full-graph bench after touching
+either kernel.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.RandomState(0)
+
+    # ---- corner_weighted_reduce at production MSDA shapes
+    from uni_encoder_tpu.ops.corner_reduce import _mats, corner_weighted_reduce
+
+    Lq, K, D = 43008, 16, 32
+    g = jnp.asarray(rng.randn(Lq, K * D), jnp.bfloat16)
+    w = jnp.asarray(rng.rand(Lq, K), jnp.float32)
+    t0 = time.perf_counter()
+    out = np.asarray(corner_weighted_reduce(g, w, D))
+    print(f"corner_reduce lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    E, S = _mats(K, D)
+    wrow = jnp.dot(w.astype(g.dtype), jnp.asarray(E, g.dtype),
+                   preferred_element_type=g.dtype)
+    ref = np.asarray(jnp.dot(g * wrow, jnp.asarray(S, g.dtype),
+                             preferred_element_type=jnp.float32))
+    err = np.abs(out - ref).max()
+    print("corner_reduce max|err| vs XLA:", err, flush=True)
+    assert err < 1e-3, err
+
+    # ---- streamed attention at the production class-transformer instance
+    from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
+
+    H, Qp, Dh, N = 8, 152, 32, 131072
+    q = jnp.asarray(rng.randn(H, Qp, Dh), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(H, N, Dh), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(H, N, Dh), jnp.bfloat16)
+    t0 = time.perf_counter()
+    out = np.asarray(streamed_cross_attention(q, k, v), np.float32)
+    print(f"streamed_attention lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    a = jax.nn.softmax(s * (Dh ** -0.5), axis=-1)
+    ref = np.asarray(jnp.einsum("hqk,hkd->hqd", a, v.astype(jnp.float32)))
+    err = np.abs(out - ref).max()
+    print("streamed_attention max|err| vs f32 XLA:", err, flush=True)
+    assert err < 0.05, err
+    print("SMOKE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ transpose-and-rename pass:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -78,20 +79,24 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
 
+        # STREAMED_ATTN_INTERPRET=1 runs the kernel in Pallas interpret mode
+        # off-TPU so the whole branch (pad/slice/projection) is testable on
+        # CPU (tests/test_streamed_attention.py).
+        interpret = os.environ.get("STREAMED_ATTN_INTERPRET") == "1"
         if (
             self.streamed
             and attn_mask is None
             and B == 1
             and Lk % 2048 == 0
             and Lk >= 16384
-            and jax.default_backend() == "tpu"
+            and (interpret or jax.default_backend() == "tpu")
         ):
             from ..ops.streamed_attention import streamed_cross_attention
 
             Qp = ((Lq + 7) // 8) * 8
             qp = jnp.pad(q[0], ((0, 0), (0, Qp - Lq), (0, 0)))
-            out = streamed_cross_attention(qp, k[0], v[0])[:, :Lq]
-            out = out.transpose(1, 0, 2).reshape(B, Lq, E)
+            out = streamed_cross_attention(qp, k[0], v[0], interpret=interpret)
+            out = out[:, :Lq].transpose(1, 0, 2).reshape(B, Lq, E)
             return out @ out_kernel + out_bias
 
         # dtype-following logits (reference AMP computes attention matmuls in
