@@ -118,6 +118,22 @@ def main():
 
     timed("stage1 qkv matmul+split only", qkv_split_only, xw, qkvk)
 
+    def attn_slices(xw, qkvk, outk, rb):
+        """Variant: q/k/v from contiguous lane slices of the qkv matmul
+        output; heads stay a trailing-reshape batch dim (no 5D transpose)."""
+        B_, N, C_ = xw.shape
+        Dh = C_ // NH
+        qkv = xw @ qkvk  # (B_, N, 3C)
+        q = qkv[:, :, :C_].reshape(B_, N, NH, Dh) * (Dh ** -0.5)
+        k = qkv[:, :, C_ : 2 * C_].reshape(B_, N, NH, Dh)
+        vv = qkv[:, :, 2 * C_ :].reshape(B_, N, NH, Dh)
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=q.dtype)
+        a = jax.nn.softmax(a + rb[None], axis=-1).astype(vv.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", a, vv).reshape(B_, N, C_)
+        return o @ outk
+
+    timed("stage1 window attention (lane-slice qkv)", attn_slices, xw, qkvk, outk, rb)
+
     def mlp_only(t, w1, w2):
         return jax.nn.gelu(t @ w1, approximate=False) @ w2
 
