@@ -19,6 +19,7 @@ TPU notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -62,6 +63,26 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=128)
+def _fused_valid_mask(
+    h: int, w: int, hp: int, wp: int, window: int, shift: int, nwp: int
+) -> np.ndarray:
+    """(nwp*N, 1) f32 — 1 for real image positions in window-partition row
+    order, 0 for image-pad positions and window-count padding. The fused
+    block kernel multiplies the LN1 output by this so padding enters
+    attention as exact zeros (the XLA path pads AFTER LN1)."""
+    v = np.zeros((hp, wp), np.float32)
+    v[:h, :w] = 1.0
+    if shift > 0:
+        v = np.roll(v, (-shift, -shift), axis=(0, 1))
+    nh, nw = hp // window, wp // window
+    vwin = v.reshape(nh, window, nw, window).transpose(0, 2, 1, 3)
+    vwin = vwin.reshape(nh * nw * window * window, 1)
+    out = np.zeros((nwp * window * window, 1), np.float32)
+    out[: vwin.shape[0]] = vwin
+    return out
+
+
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B*nW, window*window, C). H, W must divide by window."""
     B, H, W, C = x.shape
@@ -78,13 +99,74 @@ def window_reverse(windows: jnp.ndarray, window: int, H: int, W: int) -> jnp.nda
     return x.reshape(B, H, W, C)
 
 
+class LayerNormP(nn.Module):
+    """LayerNorm with the same param tree as nn.LayerNorm ({scale, bias}),
+    declared in setup so the fused Swin-block path can read the params
+    without running the op. f32 statistics, result in input dtype — the
+    flax nn.LayerNorm contract."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale.astype(jnp.float32) + self.bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class DenseP(nn.Module):
+    """Dense with the same param tree as nn.Dense ({kernel, bias}), declared
+    in setup (see LayerNormP)."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        return x @ self.kernel.astype(x.dtype) + self.bias.astype(x.dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
     qkv_bias: bool = True
 
-    @nn.compact
+    def setup(self):
+        C, H = self.dim, self.num_heads
+        self.qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.xavier_uniform(), (C, 3 * C)
+        )
+        if self.qkv_bias:
+            self.qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
+        self.bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) * (2 * self.window - 1), H),
+        )
+        self.out_kernel = self.param(
+            "proj_kernel", nn.initializers.xavier_uniform(), (C, C)
+        )
+        self.out_bias = self.param("proj_bias", nn.initializers.zeros, (C,))
+
+    def rel_bias(self):
+        N = self.window * self.window
+        idx = _relative_position_index(self.window, self.window).reshape(-1)
+        return self.bias_table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+
     def __call__(self, x: jnp.ndarray, attn_mask, fused_geom=None) -> jnp.ndarray:
         # x: (B_, N, C); attn_mask: None or (nW, N, N) additive, B_ = B*nW.
         # fused_geom: optional (Hp, Wp, shift) — enables the fused Pallas
@@ -95,20 +177,11 @@ class WindowAttention(nn.Module):
         Dh = C // H
         scale = Dh ** -0.5
 
-        qkv_kernel = self.param("qkv_kernel", nn.initializers.xavier_uniform(), (C, 3 * C))
-        if self.qkv_bias:
-            qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
-        else:
-            qkv_b = jnp.zeros((3 * C,), x.dtype)
-        bias_table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.normal(0.02),
-            ((2 * self.window - 1) * (2 * self.window - 1), H),
-        )
-        idx = _relative_position_index(self.window, self.window).reshape(-1)
-        rel_bias = bias_table[idx].reshape(N, N, H).transpose(2, 0, 1)  # H, N, N
-        out_kernel = self.param("proj_kernel", nn.initializers.xavier_uniform(), (C, C))
-        out_bias = self.param("proj_bias", nn.initializers.zeros, (C,))
+        qkv_kernel = self.qkv_kernel
+        qkv_b = self.qkv_b if self.qkv_bias else jnp.zeros((3 * C,), x.dtype)
+        rel_bias = self.rel_bias()  # H, N, N
+        out_kernel = self.out_kernel
+        out_bias = self.out_bias
 
         if fused_geom is not None and jax.default_backend() == "tpu":
             from ...ops.pallas_swin import window_attention_fused, window_mask_ids
@@ -153,6 +226,10 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     deterministic: bool = True
     use_pallas_attention: bool = False
+    # Pallas whole-block megakernel (inference, B=1, TPU). Default OFF until
+    # its lowering is verified on the real chip (SWIN_FUSED_BLOCK=1; the
+    # same flip-after-green policy as MSDA_PALLAS_REDUCE).
+    use_fused_block: bool = True
 
     def _drop_path(self, z):
         if self.deterministic or self.drop_path_rate == 0.0:
@@ -164,14 +241,99 @@ class SwinBlock(nn.Module):
         # x: (B, H, W, C)
         B, H, W, C = x.shape
         ws = self.window
-        shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        hidden = int(C * self.mlp_ratio)
+
+        norm1 = LayerNormP(C, epsilon=1e-5, name="norm1")
+        norm2 = LayerNormP(C, epsilon=1e-5, name="norm2")
+        attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias, name="attn")
+        fc1 = DenseP(C, hidden, name="mlp_fc1")
+        fc2 = DenseP(hidden, C, name="mlp_fc2")
 
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
+        Hp, Wp = H + pad_b, W + pad_r
+
+        # ---- fused whole-block Pallas path (inference): LN1 + windowed MSA
+        # + proj + residual + LN2 + MLP + residual in one VMEM-resident
+        # kernel; XLA keeps only pad/roll/partition (pure relayouts). See
+        # ops/pallas_swin_block.py for why this succeeds where the
+        # attention-only kernel lost (fusion-barrier negative result (a)).
+        # SWIN_FUSED_INTERPRET=1 exercises this branch in Pallas interpret
+        # mode off-TPU (CPU parity tests vs the XLA path)
+        interpret = os.environ.get("SWIN_FUSED_INTERPRET") == "1"
+        fused_ok = (
+            self.use_fused_block
+            and (interpret or os.environ.get("SWIN_FUSED_BLOCK", "0") == "1")
+            and B == 1
+            and (self.deterministic or self.drop_path_rate == 0.0)
+            and (interpret or jax.default_backend() == "tpu")
+        )
+        if fused_ok:
+            from ...ops.pallas_swin_block import swin_block_fused
+
+            xp = x
+            if pad_b or pad_r:
+                xp = jnp.pad(xp, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            if self.shift > 0:
+                xp = jnp.roll(xp, shift=(-self.shift, -self.shift), axis=(1, 2))
+            N = ws * ws
+            xw = window_partition(xp, ws).reshape(-1, C)  # (nW*N, C)
+            n_win = (Hp // ws) * (Wp // ws)
+            # window batch per grid step: the (H, wb*N, wb*N) f32 bias tile
+            # must stay well under VMEM for the wide stages (H up to 24)
+            wb = 8 if self.num_heads <= 6 else 4
+            nwp = -(-n_win // wb) * wb
+            if nwp != n_win:
+                xw = jnp.pad(xw, ((0, (nwp - n_win) * N), (0, 0)))
+
+            Dh = C // self.num_heads
+            qkv_b = (
+                attn.qkv_b if self.qkv_bias else jnp.zeros((3 * C,), x.dtype)
+            )
+            params = {
+                # (C, 3C) column order is [q | k | v], heads minor within each
+                "wqkv": attn.qkv_kernel.reshape(C, 3, self.num_heads, Dh)
+                .transpose(1, 2, 0, 3),
+                "bqkv": qkv_b.reshape(3, self.num_heads, 1, Dh),
+                "wproj": attn.out_kernel.reshape(self.num_heads, Dh, C),
+                "bproj": attn.out_bias.reshape(1, C),
+                "ln1": jnp.stack([norm1.scale, norm1.bias]),
+                "ln2": jnp.stack([norm2.scale, norm2.bias]),
+                "wm1": fc1.kernel,
+                "bm1": fc1.bias.reshape(1, hidden),
+                "wm2": fc2.kernel,
+                "bm2": fc2.bias.reshape(1, C),
+            }
+            params = {k: v.astype(x.dtype) for k, v in params.items()}
+            valid = jnp.asarray(
+                _fused_valid_mask(H, W, Hp, Wp, ws, self.shift, nwp)
+            )
+            out = swin_block_fused(
+                xw,
+                params,
+                attn.rel_bias().astype(jnp.float32),
+                valid=jnp.asarray(valid),
+                window=ws,
+                heads=self.num_heads,
+                hp=Hp,
+                wp=Wp,
+                shift=self.shift,
+                wb=wb,
+                interpret=interpret,
+            )
+            out = out[: n_win * N].reshape(n_win, N, C)
+            xo = window_reverse(out, ws, Hp, Wp)
+            if self.shift > 0:
+                xo = jnp.roll(xo, shift=(self.shift, self.shift), axis=(1, 2))
+            if pad_b or pad_r:
+                xo = xo[:, :H, :W]
+            return xo
+
+        shortcut = x
+        x = norm1(x)
+
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        Hp, Wp = H + pad_b, W + pad_r
 
         if self.shift > 0:
             x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
@@ -186,7 +348,7 @@ class SwinBlock(nn.Module):
         # barrier for the surrounding LN/pad/roll/partition chain — XLA's
         # cross-op fusion beats the kernel here. Kept available via
         # use_pallas_attention for future Mosaic revisions.
-        xw = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias, name="attn")(
+        xw = attn(
             xw, mask,
             fused_geom=(Hp, Wp, self.shift) if self.use_pallas_attention else None,
         )
@@ -200,11 +362,10 @@ class SwinBlock(nn.Module):
         # stochastic depth on both residual branches (reference
         # swin.py:148-152 applies timm DropPath with a per-block rate)
         x = shortcut + self._drop_path(x)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        hidden = int(C * self.mlp_ratio)
-        y = nn.Dense(hidden, name="mlp_fc1")(y)
+        y = norm2(x)
+        y = fc1(y)
         y = gelu(y)
-        y = nn.Dense(C, name="mlp_fc2")(y)
+        y = fc2(y)
         return x + self._drop_path(y)
 
 
