@@ -46,3 +46,16 @@ def test_fused_block_wide_head_wb4(monkeypatch):
     # wide stages) — different signature bank and grid
     out, ref = _run(3, H=18, W=23, C=32, heads=8, monkeypatch=monkeypatch)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_block_batch2(monkeypatch):
+    # B=2 (the two-frame sequence pass): windows tile per image, a wb block
+    # may straddle images
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 18, 23, 32), jnp.float32)
+    blk = SwinBlock(dim=32, num_heads=2, window=7, shift=3)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x)
+    monkeypatch.setenv("SWIN_FUSED_INTERPRET", "1")
+    out = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -55,6 +55,31 @@ def main():
     err = np.abs(out - ref).max()
     print("streamed_attention max|err| vs f32 XLA:", err, flush=True)
     assert err < 0.05, err
+
+    # ---- fused Swin block at production stage-1 and stage-3 shapes,
+    # unshifted and shifted, vs the XLA SwinBlock path
+    os.environ["SWIN_FUSED_BLOCK"] = "1"
+    from uni_encoder_tpu.models.backbones.swin import SwinBlock
+
+    for (Hh, Ww, C, nh, sh) in [
+        (256, 512, 96, 3, 0), (256, 512, 96, 3, 3), (64, 128, 384, 12, 3)
+    ]:
+        x = jnp.asarray(rng.randn(1, Hh, Ww, C), jnp.bfloat16)
+        blk = SwinBlock(dim=C, num_heads=nh, window=7, shift=sh)
+        bv = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+        bv = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t, bv
+        )
+        t0 = time.perf_counter()
+        out = np.asarray(jax.jit(blk.apply)(bv, x), np.float32)
+        dt = time.perf_counter() - t0
+        blk2 = SwinBlock(dim=C, num_heads=nh, window=7, shift=sh,
+                         use_fused_block=False)
+        ref = np.asarray(jax.jit(blk2.apply)(bv, x), np.float32)
+        err = np.abs(out - ref).max()
+        print(f"swin_block_fused {Hh}x{Ww} c{C} shift{sh}: {dt:.1f}s "
+              f"max|err|={err}", flush=True)
+        assert err < 0.1, err
     print("SMOKE OK", flush=True)
 
 

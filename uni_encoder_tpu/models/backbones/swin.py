@@ -65,19 +65,21 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=128)
 def _fused_valid_mask(
-    h: int, w: int, hp: int, wp: int, window: int, shift: int, nwp: int
+    h: int, w: int, hp: int, wp: int, window: int, shift: int, nwp: int,
+    batch: int = 1,
 ) -> np.ndarray:
     """(nwp*N, 1) f32 — 1 for real image positions in window-partition row
-    order, 0 for image-pad positions and window-count padding. The fused
-    block kernel multiplies the LN1 output by this so padding enters
-    attention as exact zeros (the XLA path pads AFTER LN1)."""
+    order (repeated per batch image), 0 for image-pad positions and
+    window-count padding. The fused block kernel multiplies the LN1 output
+    by this so padding enters attention as exact zeros (the XLA path pads
+    AFTER LN1)."""
     v = np.zeros((hp, wp), np.float32)
     v[:h, :w] = 1.0
     if shift > 0:
         v = np.roll(v, (-shift, -shift), axis=(0, 1))
     nh, nw = hp // window, wp // window
     vwin = v.reshape(nh, window, nw, window).transpose(0, 2, 1, 3)
-    vwin = vwin.reshape(nh * nw * window * window, 1)
+    vwin = np.tile(vwin.reshape(-1, 1), (batch, 1))
     out = np.zeros((nwp * window * window, 1), np.float32)
     out[: vwin.shape[0]] = vwin
     return out
@@ -264,7 +266,6 @@ class SwinBlock(nn.Module):
         fused_ok = (
             self.use_fused_block
             and (interpret or os.environ.get("SWIN_FUSED_BLOCK", "0") == "1")
-            and B == 1
             and (self.deterministic or self.drop_path_rate == 0.0)
             and (interpret or jax.default_backend() == "tpu")
         )
@@ -277,8 +278,8 @@ class SwinBlock(nn.Module):
             if self.shift > 0:
                 xp = jnp.roll(xp, shift=(-self.shift, -self.shift), axis=(1, 2))
             N = ws * ws
-            xw = window_partition(xp, ws).reshape(-1, C)  # (nW*N, C)
-            n_win = (Hp // ws) * (Wp // ws)
+            xw = window_partition(xp, ws).reshape(-1, C)  # (B*nW*N, C)
+            n_win = (Hp // ws) * (Wp // ws) * B
             # window batch per grid step: the (H, wb*N, wb*N) f32 bias tile
             # must stay well under VMEM for the wide stages (H up to 24)
             wb = 8 if self.num_heads <= 6 else 4
@@ -306,7 +307,7 @@ class SwinBlock(nn.Module):
             }
             params = {k: v.astype(x.dtype) for k, v in params.items()}
             valid = jnp.asarray(
-                _fused_valid_mask(H, W, Hp, Wp, ws, self.shift, nwp)
+                _fused_valid_mask(H, W, Hp, Wp, ws, self.shift, nwp, B)
             )
             out = swin_block_fused(
                 xw,
@@ -319,6 +320,7 @@ class SwinBlock(nn.Module):
                 wp=Wp,
                 shift=self.shift,
                 wb=wb,
+                batch=B,
                 interpret=interpret,
             )
             out = out[: n_win * N].reshape(n_win, N, C)

@@ -62,12 +62,15 @@ def _window_masks(window: int, shift: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _block_signatures(hp: int, wp: int, window: int, shift: int, wb: int):
+def _block_signatures(hp: int, wp: int, window: int, shift: int, wb: int,
+                      batch: int = 1):
     """Per-block signature ids + mask bank.
 
     Returns (sig_ids (nblocks,) int32, bank (S, wb*N, wb*N) f32): bank[s] is
     the block-diagonal additive mask (window isolation + per-class shift
-    masks) for signature s. Window order is row-major (window_partition).
+    masks) for signature s. Window order is row-major (window_partition),
+    repeated per batch image; a wb-block may straddle images (window
+    isolation makes that safe — the signature just concatenates classes).
     """
     nh, nw = hp // window, wp // window
     n_win = nh * nw
@@ -78,6 +81,8 @@ def _block_signatures(hp: int, wp: int, window: int, shift: int, wb: int):
         cls = ((wr == nh - 1) * 2 + (wc == nw - 1)).astype(np.int32)
     else:
         cls = np.zeros((n_win,), np.int32)
+    cls = np.tile(cls, batch)
+    n_win *= batch
     nwp = -(-n_win // wb) * wb
     cls = np.pad(cls, (0, nwp - n_win))  # padded windows: interior masks
     sigs = cls.reshape(-1, wb)
@@ -157,7 +162,9 @@ def _kernel(sig_ref, x_ref, valid_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "heads", "hp", "wp", "shift", "wb", "eps", "interpret"),
+    static_argnames=(
+        "window", "heads", "hp", "wp", "shift", "wb", "batch", "eps", "interpret"
+    ),
 )
 def swin_block_fused(
     xw,          # (nWp*N, C) pre-partitioned windows, rows padded to wb*N
@@ -171,6 +178,7 @@ def swin_block_fused(
     wp: int,
     shift: int,
     wb: int = 8,
+    batch: int = 1,
     eps: float = 1e-5,
     interpret: bool = False,
 ):
@@ -188,7 +196,7 @@ def swin_block_fused(
     H = heads
     hidden = params["wm1"].shape[1]
 
-    sig_ids, bank_np = _block_signatures(hp, wp, window, shift, wb)
+    sig_ids, bank_np = _block_signatures(hp, wp, window, shift, wb, batch)
     assert len(sig_ids) == nblocks, (len(sig_ids), nblocks)
 
     # block-diagonal rel-pos-bias tile (identical for every block); rel_bias
