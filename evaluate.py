@@ -54,6 +54,24 @@ def build_evaluator(dataset_name: str, task: str):
         return CityscapesDepthEvaluator(dataset_name)
     if etype == "kitti_depth":
         return KITTIDepthEvaluator(dataset_name)
+    if etype == "sem_seg":
+        return CityscapesSemSegEvaluator(dataset_name)
+    if etype == "ade20k_panoptic_seg":
+        # reference train_net.py:92-149: COCOPanopticEvaluator + SemSegEvaluator
+        # (+ InstanceSegEvaluator over the COCO-format instance json)
+        from uni_encoder_tpu.evaluation.coco import COCOInstanceEvaluator
+
+        n_things = len(MetadataCatalog.get(dataset_name).get("instance_classes") or []) or 100
+        evals = []
+        if task == "semantic":
+            evals.append(CityscapesSemSegEvaluator(dataset_name))
+        elif task == "instance":
+            evals.append(COCOInstanceEvaluator(dataset_name, num_classes=n_things))
+        else:
+            evals.append(CityscapesPanopticEvaluator(dataset_name))
+            evals.append(CityscapesSemSegEvaluator(dataset_name))
+            evals.append(COCOInstanceEvaluator(dataset_name, num_classes=n_things))
+        return DatasetEvaluators(evals)
     if etype in ("cityscapes_panoptic_seg", "cityscapes_sem_seg", "cityscapes_instance"):
         evals = []
         if task == "semantic":
@@ -165,7 +183,7 @@ def main():
             loader.items = loader.items[: args.max_images]
         if not is_depth:
             thing_ids = sorted(meta.get("thing_dataset_id_to_contiguous_id", {}).values())
-            predictor.set_thing_ids(thing_ids)
+            predictor.set_thing_ids(thing_ids, dataset_name=name)
         if is_depth:
             run = predictor.infer_sequence
         elif cfg.model.test.aug_enabled and task == "semantic":

@@ -1,6 +1,6 @@
 import os
 
-from . import cityscapes_panoptic, cityscapes_sequence, kitti
+from . import ade20k, cityscapes_panoptic, cityscapes_sequence, kitti
 
 
 def register_all(root: str = None) -> None:
@@ -11,3 +11,4 @@ def register_all(root: str = None) -> None:
     cityscapes_panoptic.register_all(root)
     cityscapes_sequence.register_all(root)
     kitti.register_all(root)
+    ade20k.register_all(root)

@@ -41,15 +41,25 @@ class Predictor:
         self.mean = jnp.asarray(mc.pixel_mean, jnp.float32)
         self.std = jnp.asarray(mc.pixel_std, jnp.float32)
         self.thing_mask = None  # set per dataset
+        self.instance_label_remap = None  # ADE20K quirk, set per dataset
         self._seg_fns: Dict = {}
         self._seq_fns: Dict = {}
 
-    def set_thing_ids(self, thing_contiguous_ids):
+    def set_thing_ids(self, thing_contiguous_ids, dataset_name: str = ""):
         K = self.cfg.model.sem_seg_head.num_classes
         tm = np.zeros((K,), bool)
         for t in thing_contiguous_ids:
             tm[t] = True
         self.thing_mask = jnp.asarray(tm)
+        # ADE20K instance quirk (reference oneformer_model.py:470-473): for
+        # 'ade20k' datasets outside demo mode, instance labels are re-indexed
+        # into the thing list (150-class ids -> 0..99 instance-json ids)
+        self.instance_label_remap = None
+        if "ade20k" in dataset_name and not self.cfg.model.is_demo:
+            remap = np.zeros((K,), np.int32)
+            for i, t in enumerate(sorted(thing_contiguous_ids)):
+                remap[t] = i
+            self.instance_label_remap = remap
 
     # ------------------------------------------------------------ segmentation
     def _seg_fn(self, padded_hw, image_hw, out_hw):
@@ -117,6 +127,9 @@ class Predictor:
             if self.cfg.model.is_demo:
                 keep = inst["scores"] > self.cfg.model.test.object_mask_threshold
                 inst = {k: v[keep] for k, v in inst.items()}
+            if self.instance_label_remap is not None:
+                # reference oneformer_model.py:470-473 (ade20k label re-index)
+                inst = dict(inst, labels=self.instance_label_remap[inst["labels"]])
             out["instances"] = inst
         return out
 

@@ -34,14 +34,31 @@ def _resize_nearest(arr: np.ndarray, hw) -> np.ndarray:
     return np.asarray(Image.fromarray(arr).resize((hw[1], hw[0]), Image.NEAREST))
 
 
+def _dataset_classes(dataset_name: str):
+    """Per-dataset class layout from the catalog, with cityscapes defaults:
+    (num classes, ignore label, thing contiguous ids, stuff contiguous ids)."""
+    from ..data.catalog import MetadataCatalog
+
+    meta = MetadataCatalog.get(dataset_name)
+    num = meta.get("num_sem_classes") or len(meta.get("stuff_classes") or []) or NUM_CLASSES
+    ignore = meta.get("ignore_label", IGNORE_LABEL)
+    thing = sorted((meta.get("thing_dataset_id_to_contiguous_id") or {}).values())
+    stuff = sorted((meta.get("stuff_dataset_id_to_contiguous_id") or {}).values())
+    if not thing and not stuff:
+        thing, stuff = list(THING_TRAIN_IDS), list(STUFF_TRAIN_IDS)
+    return num, ignore, thing, [s for s in stuff if s not in set(thing)]
+
+
 class CityscapesSemSegEvaluator(DatasetEvaluator):
-    """mIoU over the 19 trainId classes against *_labelTrainIds.png."""
+    """mIoU over the contiguous semantic classes against the label PNGs
+    (cityscapes *_labelTrainIds.png / prepped ADE20K annotations)."""
 
     def __init__(self, dataset_name: str):
         self.dataset_name = dataset_name
+        self.num_classes, self.ignore_label, _, _ = _dataset_classes(dataset_name)
 
     def reset(self):
-        self.cm = ConfusionMatrix(NUM_CLASSES, IGNORE_LABEL)
+        self.cm = ConfusionMatrix(self.num_classes, self.ignore_label)
 
     def process(self, inputs, outputs):
         for inp, out in zip(inputs, outputs):
@@ -73,9 +90,10 @@ class CityscapesPanopticEvaluator(DatasetEvaluator):
 
     def __init__(self, dataset_name: str):
         self.dataset_name = dataset_name
+        self.num_classes, _, self.thing_ids, self.stuff_ids = _dataset_classes(dataset_name)
 
     def reset(self):
-        self.stat = PQStat(NUM_CLASSES)
+        self.stat = PQStat(self.num_classes)
 
     def process(self, inputs, outputs):
         for inp, out in zip(inputs, outputs):
@@ -110,7 +128,7 @@ class CityscapesPanopticEvaluator(DatasetEvaluator):
         self.stat.fn = sum(s[3] for s in states)
 
     def evaluate(self):
-        return {"panoptic_seg": self.stat.summarize(THING_TRAIN_IDS, STUFF_TRAIN_IDS)}
+        return {"panoptic_seg": self.stat.summarize(self.thing_ids, self.stuff_ids)}
 
 
 class CityscapesInstanceEvaluator(DatasetEvaluator):
