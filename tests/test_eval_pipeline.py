@@ -155,3 +155,112 @@ def test_loader_shards():
     assert list(inference_shard(10, 3, 4)) == [9]
     total = sum(len(inference_shard(10, r, 4)) for r in range(4))
     assert total == 10
+
+
+# ----------------------------------------------------------------- ADE20K
+
+
+@pytest.fixture(scope="module")
+def ade_fixture_root(tmp_path_factory):
+    """Synthetic raw ADE20K tree -> the three prepare scripts -> registration."""
+    import importlib.util
+
+    from uni_encoder_tpu.data.prep import ade20k_instance_to_semantic
+
+    root = tmp_path_factory.mktemp("mini_ade")
+    base = os.path.join(str(root), "ADEChallengeData2016")
+    ins_to_sem = ade20k_instance_to_semantic()
+    sem_of_thing = ins_to_sem[3]
+    thing_sems = set(ins_to_sem.values())
+    stuff_sem = next(s for s in range(1, 151) if s not in thing_sems)
+
+    for split in ("training", "validation"):
+        for sub in ("images", "annotations", "annotations_instance"):
+            os.makedirs(os.path.join(base, sub, split), exist_ok=True)
+        for k in range(2):
+            name = f"ADE_{split[:5]}_{k:08d}"
+            h, w = 32, 48
+            Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
+                os.path.join(base, "images", split, name + ".jpg")
+            )
+            sem = np.full((h, w), stuff_sem, np.uint8)
+            sem[10:20, 8:24] = sem_of_thing
+            Image.fromarray(sem).save(os.path.join(base, "annotations", split, name + ".png"))
+            inst = np.zeros((h, w, 3), np.uint8)
+            inst[10:20, 8:24, 0] = 3
+            inst[10:15, 8:24, 1] = 1
+            inst[15:20, 8:24, 1] = 2
+            Image.fromarray(inst).save(
+                os.path.join(base, "annotations_instance", split, name + ".png")
+            )
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for script in ("prepare_ade20k_sem_seg", "prepare_ade20k_pan_seg", "prepare_ade20k_ins_seg"):
+        spec = importlib.util.spec_from_file_location(
+            script, os.path.join(repo, "datasets", script + ".py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(str(root))
+
+    from uni_encoder_tpu.data.datasets import ade20k
+
+    ade20k.register_all(str(root))
+    return str(root)
+
+
+def _ade_gt_as_prediction(item):
+    from uni_encoder_tpu.data.prep import rgb2id
+    from uni_encoder_tpu.evaluation.coco import _rle_to_mask
+
+    pan_png = np.asarray(Image.open(item["pan_seg_file_name"]), np.uint8)
+    gt_ids = rgb2id(pan_png)
+    thing_ids = set()  # contiguous 150-ids that are things, from metadata
+    meta = MetadataCatalog.get("ade20k_panoptic_val")
+    thing_ids = set(meta.thing_dataset_id_to_contiguous_id.values())
+
+    seg = np.zeros_like(gt_ids, np.int32)
+    infos = []
+    for new_id, s in enumerate(item["segments_info"], start=1):
+        seg[gt_ids == s["id"]] = new_id
+        infos.append(
+            {"id": new_id, "category_id": s["category_id"], "isthing": s["category_id"] in thing_ids}
+        )
+
+    sem = np.asarray(Image.open(item["sem_seg_file_name"]))
+    h, w = sem.shape
+    masks, labels = [], []
+    for a in item["annotations"]:
+        masks.append(_rle_to_mask(dict(a["segmentation"], order="F"), h, w))
+        labels.append(a["category_id"])  # already contiguous 0..99 (post-quirk space)
+    return {
+        "sem_seg": np.eye(150, dtype=np.float32)[np.where(sem == 255, 0, sem)].transpose(2, 0, 1)
+        * (sem != 255)[None],
+        "panoptic_seg": (seg, infos),
+        "instances": {
+            "masks": np.stack(masks),
+            "labels": np.asarray(labels, np.int64),
+            "scores": np.ones(len(labels), np.float32),
+        },
+    }
+
+
+def test_ade20k_eval_pipeline_perfect_scores(ade_fixture_root):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from evaluate import build_evaluator
+
+    name = "ade20k_panoptic_val"
+    mapper = TestMapper(task="panoptic", seg_min_size=32, seg_max_size=64)
+    loader = build_test_loader(name, mapper)
+    assert len(loader) == 2
+
+    ev = build_evaluator(name, "panoptic")  # routes PQ + mIoU + instance AP
+    ev.reset()
+    for item in loader:
+        ev.process([item], [_ade_gt_as_prediction(item)])
+    res = ev.evaluate()
+    assert res["panoptic_seg"]["PQ"] == pytest.approx(100.0), res
+    assert res["sem_seg"]["mIoU"] == pytest.approx(100.0), res
+    assert res["segm"]["AP"] == pytest.approx(100.0), res
