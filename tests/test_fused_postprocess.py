@@ -84,3 +84,39 @@ def test_fused_matches_unfused(seed):
     np.testing.assert_allclose(
         fused["boxes"], np.asarray(inst["boxes"]), atol=1.0
     )
+
+
+def test_fused_instance_strict_on_zero_logits():
+    """Exactly-zero mask logits are INSIDE for panoptic (sigmoid >= 0.5) but
+    OUTSIDE for instance rescoring/boxes (reference mask_pred > 0); the fused
+    kernel keeps both bits — a zeroed border must not inflate boxes/areas."""
+    Q, K = 8, 3
+    h, w = 16, 32
+    H, W = 4 * h, 4 * w
+    masks = np.zeros((Q, h, w), np.float32)  # exact zeros everywhere...
+    masks[:, 6:10, 8:16] = 5.0  # ...except a strictly-positive blob
+    masks[:, 0:2, :] = -4.0  # and a negative strip
+    cls = np.full((Q, K + 1), -2.0, np.float32)
+    cls[:, 1] = 3.0  # all queries confidently class 1
+    tm = jnp.asarray(np.array([False, True, False]))
+
+    fused = fused_multitask_inference(
+        jnp.asarray(cls), jnp.asarray(masks, jnp.bfloat16), tm,
+        object_mask_threshold=0.3, overlap_threshold=0.5, topk=Q,
+        interpret=True,
+    )
+    fused = jax.tree_util.tree_map(np.asarray, fused)
+
+    up = interpolate(
+        jnp.asarray(masks, jnp.bfloat16).transpose(1, 2, 0)[None],
+        size=(H, W), mode="bilinear",
+    )[0].transpose(2, 0, 1)
+    inst = instance_inference(jnp.asarray(cls), up, Q)
+
+    np.testing.assert_allclose(
+        fused["scores"], np.asarray(inst["scores"]), atol=1e-3, rtol=1e-3
+    )
+    # boxes must hug the positive blob, not the zero region
+    np.testing.assert_allclose(fused["boxes"], np.asarray(inst["boxes"]), atol=1.0)
+    ref_box = np.asarray(inst["boxes"][0])
+    assert ref_box[2] - ref_box[0] < W / 2, ref_box  # sanity: blob, not full width

@@ -36,8 +36,9 @@ _ASSET = os.path.join(os.path.dirname(__file__), "assets", "ade20k_meta.json")
 # panoptic color codec
 
 
-def rgb2id(color: np.ndarray) -> np.ndarray:
-    """(H, W, 3) uint8 -> (H, W) int32 segment ids (panopticapi convention)."""
+def rgb2id(color):
+    """(H, W, 3) uint8 -> (H, W) int64 segment-id map, or a length-3 color
+    -> python int (panopticapi convention: id = R + 256*G + 256^2*B)."""
     color = np.asarray(color, dtype=np.uint32)
     if color.ndim == 3:
         return (color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]).astype(

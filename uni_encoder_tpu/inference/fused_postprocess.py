@@ -67,6 +67,7 @@ def _fused_kernel(
     bin_area_ref,  # out (1, Qp) f32
     final_area_ref,  # out (1, Qp) f32
     sig_sum_ref,  # out (1, Qp) f32
+    strict_area_ref,  # out (1, Qp) f32 — strict (> 0) area, instance path
     box_ref,  # out (4, Qp) f32 [xmin, ymin, xmax, ymax]
     band_ref,  # scratch (bh + 2, Qp, wp) bf16
     dma_sem,
@@ -87,6 +88,7 @@ def _fused_kernel(
         bin_area_ref[:] = jnp.zeros_like(bin_area_ref)
         final_area_ref[:] = jnp.zeros_like(final_area_ref)
         sig_sum_ref[:] = jnp.zeros_like(sig_sum_ref)
+        strict_area_ref[:] = jnp.zeros_like(strict_area_ref)
         box_ref[0, :] = jnp.full((Qp,), 1e9, jnp.float32)
         box_ref[1, :] = jnp.full((Qp,), 1e9, jnp.float32)
         box_ref[2, :] = jnp.full((Qp,), -1e9, jnp.float32)
@@ -139,9 +141,12 @@ def _fused_kernel(
 
     logit32 = logit.astype(jnp.float32)
     sig = jax.nn.sigmoid(logit32)  # (bh, Qp, w) f32
-    # 0/1 float bits instead of bool tensors (broadcast i1 relayouts fail):
-    # step(x >= 0) = clip(sign(x) + 1, 0, 1); sign(0) = 0 -> 1
-    bin_f = jnp.clip(jnp.sign(logit32) + 1.0, 0.0, 1.0)
+    # 0/1 float bits instead of bool tensors (broadcast i1 relayouts fail).
+    # Panoptic binarizes at sigmoid >= 0.5 i.e. logit >= 0 (sign(0)=0 -> 1);
+    # instance binarizes STRICTLY at logit > 0 (reference mask_pred > 0) —
+    # the two differ exactly on zero logits, so both bits are kept.
+    bin_f = jnp.clip(jnp.sign(logit32) + 1.0, 0.0, 1.0)  # step(x >= 0)
+    bins_f = jnp.clip(jnp.sign(logit32), 0.0, 1.0)  # step(x > 0)
 
     # ---- semantic: (bh, Kp, Qp) @ (bh, Qp, w) -> (bh, Kp, w)
     cls_b = jnp.broadcast_to(clsprob_ref[:][None], (bh, Kp, Qp))
@@ -172,7 +177,8 @@ def _fused_kernel(
     win_area_ref[0, :] += jnp.sum(win_f, axis=(0, 2))
     bin_area_ref[0, :] += jnp.sum(bin_f, axis=(0, 2))
     final_area_ref[0, :] += jnp.sum(winbin_f, axis=(0, 2))
-    sig_sum_ref[0, :] += jnp.sum(sig * bin_f, axis=(0, 2))
+    sig_sum_ref[0, :] += jnp.sum(sig * bins_f, axis=(0, 2))
+    strict_area_ref[0, :] += jnp.sum(bins_f, axis=(0, 2))
 
     # ---- boxes: global pixel coords, arithmetic masking (empty masks give
     # +/-1e9, gated by bin_area in the epilogue). The coordinate grids are
@@ -180,8 +186,8 @@ def _fused_kernel(
     # bin_f along that axis (one big-array pass), then do the coord
     # arithmetic on the small (Qp, w) / (bh, Qp) faces — replaces 12
     # big-array passes with 2.
-    anyc = jnp.max(bin_f, axis=0)  # (Qp, w)
-    anyr = jnp.max(bin_f, axis=2)  # (bh, Qp)
+    anyc = jnp.max(bins_f, axis=0)  # (Qp, w)
+    anyr = jnp.max(bins_f, axis=2)  # (bh, Qp)
     colf = (
         jax.lax.broadcasted_iota(jnp.int32, (Qp, w), 1) * 4 + jx
     ).astype(jnp.float32)
@@ -276,6 +282,7 @@ def fused_multitask_inference(
         jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((1, Qp), f32),
+        jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((4, Qp), f32),
     ]
 
@@ -283,7 +290,10 @@ def fused_multitask_inference(
         return (p // 4, p % 4, i, 0)
 
     kern = functools.partial(_fused_kernel, bh=bh, w=w, Qp=Qp, Kp=Kp)
-    (sem_ph, ids_ph, winbin_ph, win_area, bin_area, final_area, sig_sum, box) = pl.pallas_call(
+    (
+        sem_ph, ids_ph, winbin_ph, win_area, bin_area, final_area, sig_sum,
+        strict_area, box,
+    ) = pl.pallas_call(
         kern,
         grid=grid,
         out_shape=out_shape,
@@ -296,6 +306,7 @@ def fused_multitask_inference(
             pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
@@ -314,6 +325,7 @@ def fused_multitask_inference(
     bin_area = bin_area[0, :Q]
     final_area = final_area[0, :Q]
     sig_sum = sig_sum[0, :Q]
+    strict_area = strict_area[0, :Q]
 
     ratio = win_area / jnp.maximum(bin_area, 1.0)
     valid = (
@@ -369,14 +381,14 @@ def fused_multitask_inference(
     scores_per_image, topk_indices = jax.lax.top_k(flat, topk)
     labels_per_image = topk_indices % K
     q_indices = topk_indices // K
-    mask_scores = sig_sum[q_indices] / (bin_area[q_indices] + 1e-6)
+    mask_scores = sig_sum[q_indices] / (strict_area[q_indices] + 1e-6)
     # xyxy with inclusive max coords (utils/misc.masks_to_boxes convention)
     boxes = jnp.stack(
         [
-            jnp.where(bin_area > 0, box[0, :Q], 0.0),
-            jnp.where(bin_area > 0, box[1, :Q], 0.0),
-            jnp.where(bin_area > 0, box[2, :Q], 0.0),
-            jnp.where(bin_area > 0, box[3, :Q], 0.0),
+            jnp.where(strict_area > 0, box[0, :Q], 0.0),
+            jnp.where(strict_area > 0, box[1, :Q], 0.0),
+            jnp.where(strict_area > 0, box[2, :Q], 0.0),
+            jnp.where(strict_area > 0, box[3, :Q], 0.0),
         ],
         axis=-1,
     )[q_indices]

@@ -263,10 +263,12 @@ class SwinBlock(nn.Module):
         # SWIN_FUSED_INTERPRET=1 exercises this branch in Pallas interpret
         # mode off-TPU (CPU parity tests vs the XLA path)
         interpret = os.environ.get("SWIN_FUSED_INTERPRET") == "1"
+        # inference-only: the Pallas kernel has no VJP, so training (even at
+        # drop_path_rate 0) must keep the differentiable XLA path
         fused_ok = (
             self.use_fused_block
             and (interpret or os.environ.get("SWIN_FUSED_BLOCK", "0") == "1")
-            and (self.deterministic or self.drop_path_rate == 0.0)
+            and self.deterministic
             and (interpret or jax.default_backend() == "tpu")
         )
         if fused_ok:

@@ -45,7 +45,6 @@ from .corner_reduce import _tile as _pallas_tile
 from .corner_reduce import corner_weighted_reduce
 
 
-@functools.lru_cache(maxsize=8)
 def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
     """Constant 0/1 matrices that turn the corner-weighted reduction into
     two MXU matmuls over the LANE axis (measured: the lane-sliced VPU
@@ -57,15 +56,15 @@ def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
                       E[k, k*D + i] = 1.
       S (P*4*D, D):   sums the D-wide lane groups, S[k*D + i, i] = 1.
 
+    Shared with the fused Pallas reduction (corner_reduce._mats) so the two
+    paths stay numerically identical by construction.
+
     out(q, :) = (g(q, :) * (w16(q, :) @ E)) @ S
               = sum_{p,c} w16[q, p*4+c] * g[q, (p*4+c)*D : +D].
     """
-    E = np.zeros((P * 4, P * 4 * D), np.float32)
-    S = np.zeros((P * 4 * D, D), np.float32)
-    for k in range(P * 4):
-        E[k, k * D : (k + 1) * D] = 1.0
-        S[k * D : (k + 1) * D] += np.eye(D, dtype=np.float32)
-    return E, S
+    from .corner_reduce import _mats
+
+    return _mats(P * 4, D)
 
 
 def ms_deform_attn(
@@ -109,11 +108,17 @@ def ms_deform_attn(
         # folds it into the reference-point constants — the reference's
         # offsets/wh normalization and the op's *W rescale cancel exactly;
         # see MSDeformAttnLayer).
-        _, _, _, P, _, Lq = sampling_locations.shape
+        _, _, Ls, P, _, Lq = sampling_locations.shape
+        assert Ls == L and attention_weights.shape[2] == L, (
+            f"level axis {Ls}/{attention_weights.shape[2]} != len(spatial_shapes) {L}"
+        )
         sampling_locations = sampling_locations.astype(jnp.float32)
         attention_weights = attention_weights.astype(jnp.float32)
     else:
-        _, Lq, _, _, P, _ = sampling_locations.shape
+        _, Lq, _, Ls, P, _ = sampling_locations.shape
+        assert Ls == L and attention_weights.shape[3] == L, (
+            f"level axis {Ls}/{attention_weights.shape[3]} != len(spatial_shapes) {L}"
+        )
         sampling_locations = jnp.transpose(
             sampling_locations.astype(jnp.float32), (0, 2, 3, 4, 5, 1)
         )  # (B, M, L, P, 2, Lq)
@@ -121,6 +126,23 @@ def ms_deform_attn(
             attention_weights.astype(jnp.float32), (0, 2, 3, 4, 1)
         )  # (B, M, L, P, Lq)
     unroll_heads = B * M <= 16
+
+    # On TPU the two-dot reduction's wrow intermediate is a dot output
+    # feeding another dot — it materializes to HBM (~44 MB per head-level
+    # at production shapes). The fused Pallas kernel keeps both dots
+    # VMEM-tile-resident (identical numerics; custom XLA VJP for
+    # training). Elsewhere (CPU tests, virtual meshes) keep the XLA form.
+    # Default OFF until the kernel's lowering is verified on the real
+    # chip (flip the default after a green hardware run; a lowering
+    # failure in the driver's bench would cost the whole headline run).
+    # NOTE: only the per-head unroll (inference, B*M <= 16) consults it;
+    # the batched training branch keeps the XLA reduction regardless.
+    use_pallas_reduce = (
+        os.environ.get("MSDA_PALLAS_REDUCE", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and Lq % 8 == 0
+        and _pallas_tile(Lq)
+    )
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -196,21 +218,6 @@ def ms_deform_attn(
                 w_rows.astype(g_dtype), E_m, preferred_element_type=g_dtype
             )
             return jnp.dot(g_rows * wrow, S_m, preferred_element_type=jnp.float32)
-
-        # On TPU the two-dot reduction's wrow intermediate is a dot output
-        # feeding another dot — it materializes to HBM (~44 MB per head-level
-        # at production shapes). The fused Pallas kernel keeps both dots
-        # VMEM-tile-resident (identical numerics; custom XLA VJP for
-        # training). Elsewhere (CPU tests, virtual meshes) keep the XLA form.
-        # Default OFF until the kernel's lowering is verified on the real
-        # chip (flip the default after a green hardware run; a lowering
-        # failure in the driver's bench would cost the whole headline run).
-        use_pallas_reduce = (
-            os.environ.get("MSDA_PALLAS_REDUCE", "0") == "1"
-            and jax.default_backend() == "tpu"
-            and Lq % 8 == 0
-            and _pallas_tile(Lq)
-        )
 
         if unroll_heads:
             # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
