@@ -80,6 +80,47 @@ def main():
         print(f"swin_block_fused {Hh}x{Ww} c{C} shift{sh}: {dt:.1f}s "
               f"max|err|={err}", flush=True)
         assert err < 0.1, err
+
+    # ---- fused multi-task postprocess: lowering at production shape, then
+    # pixel-map/score parity vs the unfused pipeline at a small shape
+    from uni_encoder_tpu.inference.fused_postprocess import fused_multitask_inference
+    from uni_encoder_tpu.inference.postprocess import (
+        instance_inference, panoptic_inference, semantic_inference,
+    )
+    from uni_encoder_tpu.ops import interpolate
+
+    Q, K = 150, 133
+    cls = jnp.asarray(rng.randn(Q, K + 1) * 3, jnp.float32)
+    mp = jnp.asarray(rng.randn(Q, 256, 512), jnp.bfloat16)
+    tm = jnp.asarray(np.arange(K) >= K // 2)
+    t0 = time.perf_counter()
+    full = fused_multitask_inference(cls, mp, tm, topk=Q, phase_layout=True)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), full)
+    float(full["scores"][0])  # host fetch fence (tunnel-safe)
+    print(f"fused_postprocess lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    Qs, Ks, hs, ws = 20, 7, 16, 32
+    cls_s = jnp.asarray(rng.randn(Qs, Ks + 1) * 3, jnp.float32)
+    blob = np.zeros((Qs, hs, ws), np.float32)
+    yy, xx = np.mgrid[0:hs, 0:ws]
+    for qi in range(Qs):
+        d = np.sqrt((yy - rng.randint(0, hs)) ** 2 + (xx - rng.randint(0, ws)) ** 2)
+        blob[qi] = (rng.uniform(2, 8) - d) * rng.uniform(0.5, 2.0)
+    mp_s = jnp.asarray(blob, jnp.bfloat16)
+    tm_s = jnp.asarray(np.arange(Ks) >= Ks // 2)
+    fused = jax.tree_util.tree_map(
+        np.asarray, fused_multitask_inference(cls_s, mp_s, tm_s, topk=Qs)
+    )
+    up = interpolate(mp_s.transpose(1, 2, 0)[None], size=(4 * hs, 4 * ws),
+                     mode="bilinear")[0].transpose(2, 0, 1)
+    inst = instance_inference(cls_s, up, Qs)
+    pan = panoptic_inference(cls_s, up, tm_s, 0.8, 0.8)
+    sem_arg = np.asarray(semantic_inference(cls_s, up).argmax(0))
+    assert (fused["sem_seg_argmax"] != sem_arg).mean() < 3e-3
+    assert (fused["panoptic_seg"] != np.asarray(pan["panoptic_seg"])).mean() < 3e-3
+    np.testing.assert_allclose(fused["scores"], np.asarray(inst["scores"]),
+                               atol=1e-3, rtol=1e-3)
+    print("fused_postprocess parity OK", flush=True)
     print("SMOKE OK", flush=True)
 
 

@@ -62,7 +62,10 @@ class AsyncBatchedPredictor:
             items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             n = len(items)
-            # pad to the fixed batch size by repeating the last item
+            # pad to the fixed batch size by repeating the last item: a
+            # static batch shape avoids a fresh XLA compile per tail size;
+            # the wasted compute is (batch_size - n)/batch_size of one step
+            # on the LAST batch only, far cheaper than a recompile
             while len(items) < self.batch_size:
                 items.append(items[-1])
             try:
