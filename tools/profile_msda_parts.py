@@ -238,6 +238,40 @@ def gather_reduce_pure_pallas(tables, lins, w16s):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
+def gather_reduce_pure_dg(tables, lins, w16cms):
+    """Variant: w16 stays COMPONENT-major (B, M, P*4, Lq); the E-dot
+    contracts its dim 0 via dot_general, so the (P*4, Lq) -> (Lq, P*4)
+    relayout disappears (the MXU can stream the transposed operand)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    E_np, S_np = _reduction_mats(P, D)
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w16cm = lins[lvl], w16cms[lvl]
+        v = tables[lvl]
+        g_dtype = v.dtype
+        E_m = jnp.asarray(E_np, g_dtype)
+        S_m = jnp.asarray(S_np, g_dtype)
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            # (P4, Lq)^T @ (P4, P4D) -> (Lq, P4D), no explicit transpose
+            wrow = jax.lax.dot_general(
+                w16cm[b, m].astype(g_dtype), E_m,
+                (((0,), (0,)), ((), ())), preferred_element_type=g_dtype,
+            )
+            acc_heads.append(
+                jnp.dot(g.reshape(Lq, P * 4 * D) * wrow, S_m, preferred_element_type=jnp.float32)
+            )
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
 def gather_reduce(tables, loc_m, w_m):
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -292,6 +326,9 @@ def main():
     lins = [p[0] for p in pre]
     w16s = [p[1] for p in pre]
     timed("gather+reduce PURE (prebuilt idx/w)", gather_reduce_pure, tables, lins, w16s)
+    # component-major w16 (pre-transpose): rebuild from the q-major form
+    w16cms = [jnp.transpose(w, (0, 1, 3, 2)) for w in w16s]
+    timed("gather+reduce PURE (dg cm-w16)", gather_reduce_pure_dg, tables, lins, w16cms)
     timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
     timed("gather+reduce PURE (pallas fused)", gather_reduce_pure_pallas, tables, lins, w16s)
     timed("gather+reduce PURE (head pairs)", gather_reduce_headpairs, tables, lins, w16s)
