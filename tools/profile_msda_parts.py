@@ -272,6 +272,31 @@ def gather_reduce_pure_dg(tables, lins, w16cms):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
+def gather_reduce_pure_bcast(tables, lins, w16s):
+    """Variant: broadcast-multiply-sum — (Lq, 16, D) * w16[:, :, None]
+    summed over the middle axis, one fusion, no wrow dot output. Whether
+    XLA picks a sane layout for the middle-axis reduce decides it (the r2
+    einsum form relayouted; this reshape form may not)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w16 = lins[lvl], w16s[lvl]
+        v = tables[lvl]
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+            G = g.reshape(Lq, P * 4, D).astype(jnp.float32)
+            acc_heads.append(jnp.sum(G * w16[b, m][:, :, None], axis=1))
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
 def gather_reduce(tables, loc_m, w_m):
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -329,6 +354,7 @@ def main():
     # component-major w16 (pre-transpose): rebuild from the q-major form
     w16cms = [jnp.transpose(w, (0, 1, 3, 2)) for w in w16s]
     timed("gather+reduce PURE (dg cm-w16)", gather_reduce_pure_dg, tables, lins, w16cms)
+    timed("gather+reduce PURE (bcast-sum)", gather_reduce_pure_bcast, tables, lins, w16s)
     timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
     timed("gather+reduce PURE (pallas fused)", gather_reduce_pure_pallas, tables, lins, w16s)
     timed("gather+reduce PURE (head pairs)", gather_reduce_headpairs, tables, lins, w16s)

@@ -62,6 +62,10 @@ def timed(name, fn, *args):
 def main():
     which = set(sys.argv[1:]) or {"all"}
     rng = np.random.RandomState(0)
+    # harness floor (scalar-dependency pipeline drain, ~3 ms/iter): subtract
+    # this from every row below when reading absolute per-stage costs
+    timed("null (harness floor)", lambda x: x * 1.0000001,
+          jnp.ones((8, 128), jnp.float32))
     from uni_encoder_tpu.config import Config
     from uni_encoder_tpu.models.oneformer import UniEncoder
     from uni_encoder_tpu.data.tokenizer import tokenize_task
