@@ -38,6 +38,23 @@ def main():
     print("corner_reduce max|err| vs XLA:", err, flush=True)
     assert err < 1e-3, err
 
+    # ---- row-major variant at production shapes (P-major gather rows;
+    # strided sublane folds must lower on the real chip)
+    from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce_rows
+
+    P = 4
+    g_rows = jnp.asarray(rng.randn(Lq * P, 128), jnp.bfloat16)
+    w_rows = jnp.asarray(rng.rand(Lq * P, 4), jnp.float32)
+    t0 = time.perf_counter()
+    out_r = np.asarray(corner_weighted_reduce_rows(g_rows, w_rows, P, D))
+    print(f"corner_reduce_rows lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
+    G = np.asarray(g_rows, np.float32).reshape(Lq, P, 4, D)
+    W = np.asarray(w_rows, np.float32).reshape(Lq, P, 4)
+    ref_r = (G * W[..., None]).sum(axis=(1, 2))
+    err = np.abs(out_r - ref_r).max()
+    print("corner_reduce_rows max|err| vs numpy:", err, flush=True)
+    assert err < 1e-1, err
+
     # ---- streamed attention at the production class-transformer instance
     from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
 

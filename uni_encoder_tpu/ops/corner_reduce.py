@@ -123,3 +123,100 @@ def _bwd(D, interpret, res, dout):
 
 
 corner_weighted_reduce.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Row-major variant: consumes the gather output AS PRODUCED — (Lq*P, 4*D)
+# point-major rows — so the (Lq*P, 4D) -> (Lq, P*4D) reshape (a ~44 MB
+# cross-lane relayout per (head, level) at production shapes, paid by both
+# the XLA two-dot form and the v1 kernel above) disappears entirely.
+#
+#   out[q, d] = sum_{p, c} w4[q*P + p, c] * g[q*P + p, c*D + d]
+#
+# In-kernel: wrow = w4 @ E4 lane-expands the 4 corner weights (exact bf16
+# copies), prod = g * wrow, part = prod @ S4 sums corners on the MXU, and
+# the P point-rows fold with sublane-strided adds (part[i::P]).
+
+
+def _kernel_rows(P_const, g_ref, w_ref, e_ref, s_ref, o_ref):
+    g = g_ref[:]  # (TR, 4D)
+    w = w_ref[:].astype(g.dtype)  # (TR, 4)
+    wrow = jax.lax.dot_general(
+        w, e_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(g.dtype)
+    part = jax.lax.dot_general(
+        g * wrow, s_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TR, D)
+    acc = part[0::P_const]
+    for i in range(1, P_const):
+        acc = acc + part[i::P_const]
+    o_ref[:] = acc
+
+
+def _tile_rows(rows: int, P: int) -> int:
+    """Largest row tile <= 2048 that is a multiple of 8*P and divides rows."""
+    step = 8 * P
+    for tr in range(min(2048, rows) // step * step, step - 1, -step):
+        if rows % tr == 0:
+            return tr
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("P", "D", "interpret"))
+def _pallas_reduce_rows(g, w4, P: int, D: int, interpret: bool = False):
+    rows, CD = g.shape
+    assert CD % D == 0 and rows % P == 0, (g.shape, P, D)
+    C = CD // D  # corners (4)
+    TR = _tile_rows(rows, P)
+    assert TR, (rows, P)
+    E, S = _mats(C, D)
+    return pl.pallas_call(
+        functools.partial(_kernel_rows, P),
+        grid=(rows // TR,),
+        out_shape=jax.ShapeDtypeStruct((rows // P, D), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((TR, CD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CD, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR // P, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g, w4, jnp.asarray(E, g.dtype), jnp.asarray(S, g.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def corner_weighted_reduce_rows(g, w4, P: int, D: int, interpret: bool = False):
+    """out[q, d] = sum_{p, c} w4[q*P+p, c] * g[q*P+p, c*D+d], fp32 acc.
+
+    g: (Lq*P, C*D) value dtype (the raw packed-corner gather output);
+    w4: (Lq*P, C) f32. Returns (Lq, D) f32.
+    """
+    return _pallas_reduce_rows(g, w4, P, D, interpret)
+
+
+def _fwd_rows(g, w4, P, D, interpret):
+    return _pallas_reduce_rows(g, w4, P, D, interpret), (g, w4)
+
+
+def _bwd_rows(P, D, interpret, res, dout):
+    g, w4 = res
+    rows, CD = g.shape
+    C = CD // D
+    E, S = _mats(C, D)
+    E_m = jnp.asarray(E, g.dtype)
+    S_m = jnp.asarray(S, g.dtype)
+    # dpart[r] = dout[r // P]; dexp broadcasts it across the D-groups
+    dpart = jnp.repeat(dout, P, axis=0)
+    dexp = jnp.dot(dpart.astype(g.dtype), S_m.T, preferred_element_type=jnp.float32)
+    wrow = jnp.dot(w4.astype(g.dtype), E_m, preferred_element_type=g.dtype)
+    dg = (dexp * wrow).astype(g.dtype)
+    dw4 = jnp.dot(
+        (dexp * g.astype(jnp.float32)).astype(g.dtype), E_m.T,
+        preferred_element_type=jnp.float32,
+    ).astype(w4.dtype)
+    return dg, dw4
+
+
+corner_weighted_reduce_rows.defvjp(_fwd_rows, _bwd_rows)

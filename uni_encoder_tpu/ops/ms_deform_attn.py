@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .corner_reduce import _tile as _pallas_tile
-from .corner_reduce import corner_weighted_reduce
+from .corner_reduce import _tile_rows as _pallas_tile_rows
+from .corner_reduce import corner_weighted_reduce, corner_weighted_reduce_rows
 
 
 def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -137,11 +138,16 @@ def ms_deform_attn(
     # failure in the driver's bench would cost the whole headline run).
     # NOTE: only the per-head unroll (inference, B*M <= 16) consults it;
     # the batched training branch keeps the XLA reduction regardless.
+    # "1": (Lq, P*4D) kernel (kills the wrow HBM round trip); "2": row-major
+    # kernel consuming the gather output as produced (additionally kills the
+    # (Lq*P, 4D) -> (Lq, P*4D) cross-lane relayout, ~44 MB per head-level).
+    _pallas_mode = os.environ.get("MSDA_PALLAS_REDUCE", "0")
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas_reduce = (
-        os.environ.get("MSDA_PALLAS_REDUCE", "0") == "1"
-        and jax.default_backend() == "tpu"
-        and Lq % 8 == 0
-        and _pallas_tile(Lq)
+        _pallas_mode == "1" and on_tpu and Lq % 8 == 0 and _pallas_tile(Lq)
+    )
+    use_pallas_rows = (
+        _pallas_mode == "2" and on_tpu and _pallas_tile_rows(Lq * P, P)
     )
 
     dnums = jax.lax.GatherDimensionNumbers(
@@ -203,7 +209,11 @@ def ms_deform_attn(
             ],
             axis=3,
         ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
-        w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+        if use_pallas_rows:
+            # row-major weights aligned with the gather's (q*P + p) rows
+            w16 = jnp.transpose(w16, (0, 1, 4, 2, 3)).reshape(B, M, Lq * P, 4)
+        else:
+            w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
 
         E_np, S_np = _reduction_mats(P, D)
         g_dtype = v.dtype
@@ -230,7 +240,11 @@ def ms_deform_attn(
                     v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 )  # (LqP, 4D)
-                if use_pallas_reduce:
+                if use_pallas_rows:
+                    acc_heads.append(
+                        corner_weighted_reduce_rows(g, w16[b, m], P, D)
+                    )
+                elif use_pallas_reduce:
                     acc_heads.append(
                         corner_weighted_reduce(
                             g.reshape(Lq, P * 4 * D), w16[b, m], D
