@@ -297,6 +297,36 @@ def gather_reduce_pure_bcast(tables, lins, w16s):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
+def gather_reduce_pure_rows_xla(tables, lins, w4s):
+    """Variant: row-major algebra in plain XLA — no (LqP, 4D) -> (Lq, P4D)
+    relayout of the gather output; corner weights lane-expand with a small
+    E4-dot, the S4-dot sums corners, and the P point-rows fold with
+    sublane-strided adds. w4s: per-level (B, M, Lq*P, 4)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    E_np, S_np = _reduction_mats(1, D)  # (4, 4D), (4D, D)
+    out = jnp.zeros((B, M, Lq, D), jnp.float32)
+    for lvl in range(L):
+        lin, w4 = lins[lvl], w4s[lvl]
+        v = tables[lvl]
+        g_dtype = v.dtype
+        E_m = jnp.asarray(E_np, g_dtype)
+        S_m = jnp.asarray(S_np, g_dtype)
+        acc_heads = []
+        for i in range(B * M):
+            b, m = divmod(i, M)
+            g = jax.lax.gather(
+                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (LqP, 4D) — consumed as-is
+            wrow = jnp.dot(w4[b, m].astype(g_dtype), E_m, preferred_element_type=g_dtype)
+            part = jnp.dot(g * wrow, S_m, preferred_element_type=jnp.float32)
+            acc_heads.append(part[0::P] + part[1::P] + part[2::P] + part[3::P])
+        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
 def gather_reduce(tables, loc_m, w_m):
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -355,6 +385,32 @@ def main():
     w16cms = [jnp.transpose(w, (0, 1, 3, 2)) for w in w16s]
     timed("gather+reduce PURE (dg cm-w16)", gather_reduce_pure_dg, tables, lins, w16cms)
     timed("gather+reduce PURE (bcast-sum)", gather_reduce_pure_bcast, tables, lins, w16s)
+    # row-major weights: (B, M, Lq, P*4) -> (B, M, Lq*P, 4) (k = p*4 + c)
+    w4s = [w.reshape(B, M, Lq * P, 4) for w in w16s]
+    timed("gather+reduce PURE (rows XLA)", gather_reduce_pure_rows_xla, tables, lins, w4s)
+
+    def gather_reduce_pure_rows_pallas(tables, lins, w4s):
+        from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce_rows
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        out = jnp.zeros((B, M, Lq, D), jnp.float32)
+        for lvl in range(L):
+            lin, w4 = lins[lvl], w4s[lvl]
+            v = tables[lvl]
+            acc_heads = []
+            for i in range(B * M):
+                b, m = divmod(i, M)
+                g = jax.lax.gather(
+                    v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )
+                acc_heads.append(corner_weighted_reduce_rows(g, w4[b, m], P, D))
+            out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+    timed("gather+reduce PURE (rows pallas)", gather_reduce_pure_rows_pallas, tables, lins, w4s)
     timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
     timed("gather+reduce PURE (pallas fused)", gather_reduce_pure_pallas, tables, lins, w16s)
     timed("gather+reduce PURE (head pairs)", gather_reduce_headpairs, tables, lins, w16s)
