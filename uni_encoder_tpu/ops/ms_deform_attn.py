@@ -142,7 +142,11 @@ def ms_deform_attn(
     # kernel consuming the gather output as produced (additionally kills the
     # (Lq*P, 4D) -> (Lq, P*4D) cross-lane relayout, ~44 MB per head-level).
     _pallas_mode = os.environ.get("MSDA_PALLAS_REDUCE", "0")
-    on_tpu = jax.default_backend() == "tpu"
+    # MSDA_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode so
+    # the full op path (incl. the weight-layout construction) is testable
+    # on CPU (tests/test_ms_deform_attn.py)
+    _interp = os.environ.get("MSDA_PALLAS_INTERPRET") == "1"
+    on_tpu = jax.default_backend() == "tpu" or _interp
     use_pallas_reduce = (
         _pallas_mode == "1" and on_tpu and Lq % 8 == 0 and _pallas_tile(Lq)
     )
@@ -242,12 +246,12 @@ def ms_deform_attn(
                 )  # (LqP, 4D)
                 if use_pallas_rows:
                     acc_heads.append(
-                        corner_weighted_reduce_rows(g, w16[b, m], P, D)
+                        corner_weighted_reduce_rows(g, w16[b, m], P, D, _interp)
                     )
                 elif use_pallas_reduce:
                     acc_heads.append(
                         corner_weighted_reduce(
-                            g.reshape(Lq, P * 4 * D), w16[b, m], D
+                            g.reshape(Lq, P * 4 * D), w16[b, m], D, _interp
                         )
                     )
                 else:
