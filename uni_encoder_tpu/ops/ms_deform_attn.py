@@ -18,9 +18,12 @@ with fp32 accumulation (the reference wraps this op in
 gathered values follow the value dtype while all weighted accumulation stays
 fp32). XLA lowers the gathers to native TPU gather ops; the weighted
 reduction fuses. This XLA gather formulation IS the production kernel: a
-fused Pallas variant was measured slower end-to-end (Mosaic has no
+fully-fused Pallas MSDA was measured slower end-to-end (Mosaic has no
 cross-vreg gather, and Pallas custom calls are fusion barriers for the
 surrounding layers — see BASELINE.md negative results) and was removed.
+The REDUCTION step alone has two gated Pallas forms (ops/corner_reduce.py,
+MSDA_PALLAS_REDUCE=1/2) that keep the corner-weighted dots VMEM-resident;
+flip-after-green on hardware, same policy as SWIN_FUSED_BLOCK.
 
 Shapes
 ------
