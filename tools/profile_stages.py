@@ -183,6 +183,18 @@ def main():
 
         timed("postprocess (upsample+sem+pan+inst)", post, logits, masks_small)
 
+        from uni_encoder_tpu.inference.fused_postprocess import fused_multitask_inference
+
+        def post_fused(lg, mk):
+            o = fused_multitask_inference(
+                lg, mk, thing_mask, object_mask_threshold=0.8,
+                overlap_threshold=0.8, topk=150, phase_layout=True,
+            )
+            return (o["sem_seg_argmax"].astype(jnp.uint8),
+                    o["panoptic_seg"].astype(jnp.uint8), o["scores"])
+
+        timed("postprocess FUSED (production)", post_fused, logits, masks_small)
+
     # ---- sequence pass
     if which & {"seq", "all"}:
         dep = jnp.asarray(rng.randn(1, 192, 512, 3), jnp.bfloat16)
