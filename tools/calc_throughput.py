@@ -71,9 +71,11 @@ def main():
     for it in range(args.iters):
         state, metrics = step(state, seg_batch, seq_batch, jax.random.PRNGKey(it))
         if it == 4:
-            jax.block_until_ready(metrics["loss"])
+            # fence via a host scalar fetch: block_until_ready can be a
+            # no-op through the axon tunnel (see BASELINE.md harness notes)
+            float(metrics["loss"])
             t_start = time.perf_counter()
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     elapsed = time.perf_counter() - t_start
     # one "step" consumes a seg batch AND a seq batch (BalancedSampler 1:1)
     imgs = (args.iters - 5) * 2 * B
