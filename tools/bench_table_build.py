@@ -16,7 +16,15 @@ XLA cannot hoist, host-fetch fence (block_until_ready is a no-op through the
 axon tunnel), null-loop subtraction.
 """
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uni_encoder_tpu.utils.cache import setup_compile_cache
+
+setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

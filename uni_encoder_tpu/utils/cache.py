@@ -34,11 +34,27 @@ def machine_key() -> str:
     return hashlib.sha1(txt.encode()).hexdigest()[:12]
 
 
+def honor_platform_env() -> None:
+    """Make JAX_PLATFORMS reliable under the axon sitecustomize.
+
+    The axon site plugin force-registers the TPU backend at interpreter
+    startup, so `JAX_PLATFORMS=cpu` alone is not honored — and when the
+    relay is half-open (TCP hangs instead of refusing) backend discovery
+    can block for minutes. `jax.config.update("jax_platforms", ...)` is the
+    reliable override (same reason tests/conftest.py sets it)."""
+    import jax
+
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if env and env != "axon":
+        jax.config.update("jax_platforms", env)
+
+
 def setup_compile_cache(repo_root: str | None = None) -> str:
     """Point jax's persistent compile cache at a machine-keyed subdir of
     <repo>/.jax_cache. Safe to call multiple times. Returns the dir."""
     import jax
 
+    honor_platform_env()
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     d = os.path.join(repo_root, ".jax_cache", machine_key())
