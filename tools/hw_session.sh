@@ -1,0 +1,39 @@
+#!/bin/bash
+# One-shot hardware verification queue for the round-3 gated kernels.
+#
+# Run this as soon as the axon relay is reachable (probe: TCP connect to
+# 127.0.0.1:8083). It front-loads the cheap lowering/numerics smoke, then
+# benches every gate combination so a short TPU window yields a complete
+# decision table:
+#   1. tools/smoke_kernels.py       — lowering + numerics for corner_reduce
+#                                     (modes 1+2), streamed attention, fused
+#                                     Swin block, fused postprocess
+#   2. bench.py (default gates)     — headline incl. streamed cross-attn
+#   3. bench.py MSDA_PALLAS_REDUCE=2 — row-major fused corner reduce
+#   4. bench.py MSDA_PALLAS_REDUCE=1 — (Lq, P*4D) fused corner reduce
+#   5. tools/profile_stages.py      — updated per-stage breakdown at the
+#                                     winning gate set (run manually after
+#                                     picking the winner; see BASELINE.md)
+#
+# Results land in $LOG; flip kernel defaults + update BASELINE.md rows from
+# them, then re-run bench.py once more at the final defaults.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/hw_session.log}
+{
+  echo "=== $(date -u +%FT%TZ) relay probe"
+  python - <<'EOF'
+import socket
+s = socket.socket(); s.settimeout(5)
+s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
+EOF
+  echo "=== $(date -u +%FT%TZ) smoke_kernels"
+  timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench (default gates)"
+  timeout 3000 python bench.py; echo "bench-default rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=2 (row-major)"
+  MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=1"
+  MSDA_PALLAS_REDUCE=1 timeout 3000 python bench.py; echo "bench-r1 rc=$?"
+  echo "=== $(date -u +%FT%TZ) done"
+} 2>&1 | tee "$LOG"
