@@ -39,6 +39,23 @@ BASELINE_IMG_PER_S = 4.0
 
 
 def main():
+    # Safe-mode retry: the default gate set includes Pallas kernels
+    # (streamed cross-attention; optionally MSDA_PALLAS_REDUCE). If the
+    # full-context compile/run fails on this hardware for any reason, fall
+    # back once to the pure-XLA form so the bench always produces a number.
+    try:
+        run()
+    except Exception as e:  # noqa: BLE001 — any failure: report + safe rerun
+        if os.environ.get("BENCH_NO_RETRY") == "1":
+            raise
+        print(f"# default-gate bench failed ({type(e).__name__}: {e}); "
+              "retrying with STREAMED_ATTN=0 MSDA_PALLAS_REDUCE=0", file=sys.stderr)
+        os.environ["STREAMED_ATTN"] = "0"
+        os.environ["MSDA_PALLAS_REDUCE"] = "0"
+        run()
+
+
+def run():
     from uni_encoder_tpu.config import Config
     from uni_encoder_tpu.data.tokenizer import tokenize_task
     from uni_encoder_tpu.inference.postprocess import (

@@ -75,3 +75,27 @@ def test_mha_streamed_branch_matches_dense(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_s), np.asarray(out_d), rtol=2e-4, atol=2e-4
     )
+
+
+def test_streamed_kill_switch(monkeypatch):
+    """STREAMED_ATTN=0 must force the XLA form even with streamed=True —
+    bench.py's safe-mode retry relies on this gate being read at trace time."""
+    monkeypatch.setenv("STREAMED_ATTN_INTERPRET", "1")
+    monkeypatch.setenv("STREAMED_ATTN", "0")
+    import uni_encoder_tpu.ops.streamed_attention as sa
+    from uni_encoder_tpu.models.layers import MultiheadAttention
+
+    def _boom(*a, **k):  # the kernel must NOT be reached
+        raise AssertionError("streamed kernel called despite STREAMED_ATTN=0")
+
+    monkeypatch.setattr(sa, "streamed_cross_attention", _boom)
+
+    rng = np.random.RandomState(4)
+    B, Lq, Lk, E, H = 1, 8, 16384, 64, 8
+    q = jnp.asarray(rng.randn(B, Lq, E), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Lk, E), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Lk, E), jnp.float32)
+    mha = MultiheadAttention(E, H, streamed=True)
+    variables = mha.init(jax.random.PRNGKey(0), q, k, v)
+    out = mha.apply(variables, q, k, v)
+    assert np.isfinite(np.asarray(out)).all()
