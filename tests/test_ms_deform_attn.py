@@ -95,10 +95,11 @@ def test_gradient_matches_reference_autograd(seed):
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=5e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["1", "2"])
+@pytest.mark.parametrize("mode", ["1", "2", "3"])
 def test_pallas_reduce_modes_match_default(mode, monkeypatch):
-    """Full-op parity of the gated Pallas reduce paths (interpret mode on
-    CPU): exercises the op-level weight-layout construction (w16 q-major vs
+    """Full-op parity of the gated reduce paths (Pallas modes 1/2 in
+    interpret mode on CPU; mode 3 is the plain-XLA row-major restatement):
+    exercises the op-level weight-layout construction (w16 q-major vs
     row-major w4) that the kernel-level tests cannot."""
     monkeypatch.setenv("MSDA_PALLAS_REDUCE", mode)
     monkeypatch.setenv("MSDA_PALLAS_INTERPRET", "1")

@@ -35,5 +35,7 @@ EOF
   MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=1"
   MSDA_PALLAS_REDUCE=1 timeout 3000 python bench.py; echo "bench-r1 rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=3 (row-major, plain XLA)"
+  MSDA_PALLAS_REDUCE=3 timeout 3000 python bench.py; echo "bench-r3 rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
 } 2>&1 | tee "$LOG"

@@ -143,7 +143,9 @@ def ms_deform_attn(
     # the batched training branch keeps the XLA reduction regardless.
     # "1": (Lq, P*4D) kernel (kills the wrow HBM round trip); "2": row-major
     # kernel consuming the gather output as produced (additionally kills the
-    # (Lq*P, 4D) -> (Lq, P*4D) cross-lane relayout, ~44 MB per head-level).
+    # (Lq*P, 4D) -> (Lq, P*4D) cross-lane relayout, ~44 MB per head-level);
+    # "3": the row-major algebra in plain XLA (no Pallas lowering risk —
+    # kills the relayout, keeps the wrow dot output in XLA's hands).
     _pallas_mode = os.environ.get("MSDA_PALLAS_REDUCE", "0")
     # MSDA_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode so
     # the full op path (incl. the weight-layout construction) is testable
@@ -154,8 +156,16 @@ def ms_deform_attn(
         _pallas_mode == "1" and on_tpu and Lq % 8 == 0 and _pallas_tile(Lq)
     )
     use_pallas_rows = (
-        _pallas_mode == "2" and on_tpu and _pallas_tile_rows(Lq * P, P)
+        _pallas_mode == "2"
+        and on_tpu
+        and unroll_heads
+        and _pallas_tile_rows(Lq * P, P)
     )
+    # "3": the same row-major algebra restated in plain XLA (no Pallas
+    # lowering risk): gather output consumed as produced, corner weights
+    # lane-expanded by a P=1 E-dot, corners summed by the S-dot, and the P
+    # point-rows folded with sublane-strided adds. Backend-agnostic.
+    use_rows_xla = _pallas_mode == "3" and unroll_heads
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -216,13 +226,13 @@ def ms_deform_attn(
             ],
             axis=3,
         ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
-        if use_pallas_rows:
+        if use_pallas_rows or use_rows_xla:
             # row-major weights aligned with the gather's (q*P + p) rows
             w16 = jnp.transpose(w16, (0, 1, 4, 2, 3)).reshape(B, M, Lq * P, 4)
         else:
             w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
 
-        E_np, S_np = _reduction_mats(P, D)
+        E_np, S_np = _reduction_mats(1 if use_rows_xla else P, D)
         g_dtype = v.dtype
         E_m = jnp.asarray(E_np, g_dtype)
         S_m = jnp.asarray(S_np, g_dtype)
@@ -251,6 +261,15 @@ def ms_deform_attn(
                     acc_heads.append(
                         corner_weighted_reduce_rows(g, w16[b, m], P, D, _interp)
                     )
+                elif use_rows_xla:
+                    wrow = jnp.dot(
+                        w16[b, m].astype(g_dtype), E_m,
+                        preferred_element_type=g_dtype,
+                    )  # (LqP, 4D)
+                    part = jnp.dot(
+                        g * wrow, S_m, preferred_element_type=jnp.float32
+                    )  # (LqP, D)
+                    acc_heads.append(sum(part[p::P] for p in range(P)))
                 elif use_pallas_reduce:
                     acc_heads.append(
                         corner_weighted_reduce(
