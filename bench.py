@@ -43,6 +43,7 @@ def main():
     # (streamed cross-attention; optionally MSDA_PALLAS_REDUCE). If the
     # full-context compile/run fails on this hardware for any reason, fall
     # back once to the pure-XLA form so the bench always produces a number.
+    retry = False
     try:
         run()
     except Exception as e:  # noqa: BLE001 — any failure: report + safe rerun
@@ -50,6 +51,11 @@ def main():
             raise
         print(f"# default-gate bench failed ({type(e).__name__}: {e}); "
               "retrying with STREAMED_ATTN=0 MSDA_PALLAS_REDUCE=0", file=sys.stderr)
+        retry = True
+    if retry:
+        # retried OUTSIDE the except block: the exception's traceback would
+        # otherwise pin the failed attempt's device buffers (params, images,
+        # executables) and an OOM-class failure would just OOM again
         os.environ["STREAMED_ATTN"] = "0"
         os.environ["MSDA_PALLAS_REDUCE"] = "0"
         run()

@@ -11,21 +11,18 @@ scalar-pipeline floor; see BASELINE.md).
 Variants (all produce identical gather work unless noted):
   prod          per-(b,head) rank-2 gathers, (LqP, 1) index column (current)
   f32tab        same, f32 tables (same slice count, 2x bytes)
-  idx64         same, int64 indices
-  rows8         slice_sizes=(1,128) from a (rows*?, 128) reshaped... skipped
   two_halves    each head's gather split into 2 gathers of LqP/2 rows
   batched       ONE gather per level with a batching dim over B*M heads
-  clip_mode     mode=CLIP instead of PROMISE_IN_BOUNDS
-  sorted_idx    indices ascending (locality control — measured no effect r3)
+  clip          mode=CLIP instead of PROMISE_IN_BOUNDS
+  sorted        indices ascending (locality control — measured no effect r3)
   w256          tables packed 2 heads wide (256-lane slices, half the
                 gathers; needs per-head lane slicing after — width test)
 
-Usage: python tools/bench_gather_sweep.py [variant ...]
+Usage: python tools/bench_gather_sweep.py [variant ...]   (default: all)
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,30 +42,18 @@ Lq = sum(h * w for h, w in SHAPES)
 SLICES = B * M * Lq * P * L  # 4.13M
 
 
+# the subtle scan harness (data-dependent carry, per-leaf perturbation to
+# defeat XLA loop-invariant hoisting) lives in ONE place: profile_stages
+import profile_stages  # noqa: E402
+from profile_stages import timed as _scan_timed  # noqa: E402
+
+assert ITERS == profile_stages.ITERS, "ns/slice math assumes the harness scan length"
+
+
 def timed(name, fn, *args, null_ms=0.0):
-    @jax.jit
-    def run(args):
-        def body(c, _):
-            out = fn(*c[1])
-            leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
-            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-
-            def perturb(x):
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
-                    return x + (s * 1e-30).astype(x.dtype)
-                return x
-
-            return (c[0] + s, jax.tree_util.tree_map(perturb, c[1])), None
-
-        (acc, _), _ = jax.lax.scan(body, (jnp.float32(0.0), args), None, length=ITERS)
-        return acc
-
-    float(run(args))  # compile
-    t0 = time.perf_counter()
-    float(run(args))
-    dt = (time.perf_counter() - t0) / ITERS * 1000.0 - null_ms
+    dt = _scan_timed(name, fn, *args) - null_ms
     ns = dt * 1e6 / SLICES
-    print(f"{name:28s} {dt:8.2f} ms  {ns:6.2f} ns/slice", flush=True)
+    print(f"  net of harness floor: {dt:8.2f} ms  {ns:6.2f} ns/slice", flush=True)
     return dt
 
 
@@ -144,9 +129,11 @@ def gathers_w256(tables2, lins2):
 
 
 def main():
-    which = set(sys.argv[1:]) or {
-        "prod", "f32tab", "two_halves", "batched", "clip", "sorted", "w256"
-    }
+    known = {"prod", "f32tab", "two_halves", "batched", "clip", "sorted", "w256"}
+    which = set(sys.argv[1:]) or known
+    unknown = which - known
+    if unknown:
+        sys.exit(f"unknown variant(s) {sorted(unknown)}; choose from {sorted(known)}")
     rng = np.random.RandomState(0)
     null = timed("null (harness floor)", lambda x: x * 1.0000001,
                  jnp.ones((8, 128), jnp.float32))

@@ -22,20 +22,26 @@ cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/hw_session.log}
 {
   echo "=== $(date -u +%FT%TZ) relay probe"
-  python - <<'EOF'
+  python - <<'EOF' || { echo "relay unreachable — aborting (do not burn the timeouts)"; exit 1; }
 import socket
 s = socket.socket(); s.settimeout(5)
 s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
 EOF
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
+  # NOTE: every gate row sets BENCH_NO_RETRY=1 — bench.py's safe-mode retry
+  # would otherwise silently replace a failed gated run with a gates-off
+  # number and corrupt this decision table. Only the default row keeps the
+  # retry (that row doubles as a rehearsal of the driver-run fallback).
   echo "=== $(date -u +%FT%TZ) bench (default gates)"
   timeout 3000 python bench.py; echo "bench-default rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=2 (row-major)"
-  MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
+  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=1"
-  MSDA_PALLAS_REDUCE=1 timeout 3000 python bench.py; echo "bench-r1 rc=$?"
+  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=1 timeout 3000 python bench.py; echo "bench-r1 rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=3 (row-major, plain XLA)"
-  MSDA_PALLAS_REDUCE=3 timeout 3000 python bench.py; echo "bench-r3 rc=$?"
+  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=3 timeout 3000 python bench.py; echo "bench-r3 rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench SWIN_FUSED_BLOCK=1 (fused Swin megakernel)"
+  BENCH_NO_RETRY=1 SWIN_FUSED_BLOCK=1 timeout 3000 python bench.py; echo "bench-swin rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
 } 2>&1 | tee "$LOG"

@@ -28,17 +28,27 @@ def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, DATA_AXIS, None, None))
 
 
+# one jitted apply per model (flax modules are frozen/hashable): a fresh
+# jax.jit wrapper per call would never hit the trace cache, forcing a full
+# retrace+compile (minutes at flagship width) on every image
+_JITTED_APPLY: dict = {}
+
+
 def spatial_inference(model, variables, images, tasks, mesh: Mesh):
     """Run the seg forward with the image spatially sharded over `mesh`'s
     data axis; params replicated. Returns the model's output dict with
     outputs resharded as GSPMD propagates (masks stay H-sharded until
     fetched). The input H must be divisible by the data-axis size times the
     backbone's total stride for even shards; uneven H falls back to XLA's
-    padded partitioning (correct, slightly slower)."""
+    padded partitioning (correct, slightly slower). device_put of params
+    already replicated on `mesh` is a no-op transfer-wise."""
+    fn = _JITTED_APPLY.get(model)
+    if fn is None:
+        fn = _JITTED_APPLY[model] = jax.jit(model.apply)
     replicated = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), variables
     )
     images = jax.device_put(images, spatial_image_sharding(mesh))
     tasks = jax.device_put(tasks, NamedSharding(mesh, P()))
     with mesh:
-        return jax.jit(model.apply)(replicated, images, tasks)
+        return fn(replicated, images, tasks)
