@@ -100,3 +100,36 @@ def test_semantic_tta_flip_consistency():
     # ignores input content — flip symmetry makes left/right swap and average
     assert sem.shape == (2, 16, 32)
     np.testing.assert_allclose(sem[0] + sem[1], 1.0)
+
+
+def test_bench_safe_mode_retry(monkeypatch):
+    """bench.main() must fall back exactly once to the pure-XLA gate set
+    when the default-gate run fails, and honor BENCH_NO_RETRY=1."""
+    import bench
+
+    # bench.main() mutates os.environ directly; swap in a throwaway copy so
+    # nothing leaks into later tests (monkeypatch can only restore vars it
+    # itself set)
+    monkeypatch.setattr(os, "environ", dict(os.environ))
+
+    calls = []
+
+    def flaky():
+        calls.append((os.environ.get("STREAMED_ATTN"), os.environ.get("MSDA_PALLAS_REDUCE")))
+        if len(calls) == 1:
+            raise RuntimeError("simulated lowering failure")
+
+    monkeypatch.delenv("STREAMED_ATTN", raising=False)
+    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
+    monkeypatch.setattr(bench, "run", flaky)
+    bench.main()
+    assert calls == [(None, None), ("0", "0")]
+
+    calls.clear()
+    monkeypatch.delenv("STREAMED_ATTN", raising=False)
+    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.setenv("BENCH_NO_RETRY", "1")
+    with pytest.raises(RuntimeError):
+        bench.main()
+    assert len(calls) == 1
