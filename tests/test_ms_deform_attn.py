@@ -117,3 +117,23 @@ def test_pallas_reduce_modes_match_default(mode, monkeypatch):
     monkeypatch.setenv("MSDA_PALLAS_REDUCE", "0")
     base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
     np.testing.assert_allclose(fused, base, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("nsplit", ["2", "4"])
+def test_gather_split_matches_default(nsplit, monkeypatch):
+    """MSDA_GATHER_SPLIT chunks each per-head gather into n row-ranges —
+    must be bit-identical to the single gather (same slices, same order)."""
+    monkeypatch.setenv("MSDA_GATHER_SPLIT", nsplit)
+    rng = np.random.RandomState(11)
+    B, M, D, Lq, P = 1, 2, 32, 16, 4
+    shapes = ((4, 6), (2, 3))
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)), jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.float32)
+
+    split = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    monkeypatch.setenv("MSDA_GATHER_SPLIT", "1")
+    base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    np.testing.assert_array_equal(split, base)

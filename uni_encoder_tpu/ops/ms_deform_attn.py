@@ -147,6 +147,12 @@ def ms_deform_attn(
     # "3": the row-major algebra in plain XLA (no Pallas lowering risk —
     # kills the relayout, keeps the wrow dot output in XLA's hands).
     _pallas_mode = os.environ.get("MSDA_PALLAS_REDUCE", "0")
+    # MSDA_GATHER_SPLIT=n splits each per-head gather into n row-chunks
+    # (identical slices, more independent ops for the scheduler to overlap
+    # with VPU/MXU work — the isolated microbench runs at ~1.9 ns/slice vs
+    # ~2.6 in the production op; this knob tests whether extra gather-level
+    # parallelism closes that gap end-to-end). Default 1 = single gather.
+    _gsplit = int(os.environ.get("MSDA_GATHER_SPLIT", "1"))
     # MSDA_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode so
     # the full op path (incl. the weight-layout construction) is testable
     # on CPU (tests/test_ms_deform_attn.py)
@@ -253,10 +259,21 @@ def ms_deform_attn(
             acc_heads = []
             for i in range(B * M):
                 b, m = divmod(i, M)
-                g = jax.lax.gather(
-                    v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                )  # (LqP, 4D)
+                if _gsplit > 1 and (Lq * P) % _gsplit == 0:
+                    c = Lq * P // _gsplit
+                    g = jnp.concatenate([
+                        jax.lax.gather(
+                            v[i], lin[i, s * c : (s + 1) * c][:, None], dnums,
+                            slice_sizes=(1, 4 * D),
+                            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                        )
+                        for s in range(_gsplit)
+                    ])  # (LqP, 4D), identical rows to the single gather
+                else:
+                    g = jax.lax.gather(
+                        v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    )  # (LqP, 4D)
                 if use_pallas_rows:
                     acc_heads.append(
                         corner_weighted_reduce_rows(g, w16[b, m], P, D, _interp)
