@@ -43,5 +43,7 @@ EOF
   BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=3 timeout 3000 python bench.py; echo "bench-r3 rc=$?"
   echo "=== $(date -u +%FT%TZ) bench SWIN_FUSED_BLOCK=1 (fused Swin megakernel)"
   BENCH_NO_RETRY=1 SWIN_FUSED_BLOCK=1 timeout 3000 python bench.py; echo "bench-swin rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench MSDA_GATHER_SPLIT=2 (gather chunking)"
+  BENCH_NO_RETRY=1 MSDA_GATHER_SPLIT=2 timeout 3000 python bench.py; echo "bench-gsplit rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
 } 2>&1 | tee "$LOG"
