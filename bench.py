@@ -23,6 +23,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _probe_relay():
+    """Fail fast when the axon TPU relay is down.
+
+    A dead/half-open relay otherwise hangs jax backend discovery for ~25
+    minutes before erroring (measured in BENCH_r03) — probe the relay with a
+    5 s TCP connect BEFORE importing jax so a dead relay costs seconds, not
+    the driver's whole window. Only applies when this process targets the
+    axon backend; a local/real TPU runtime has no relay to probe."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    import socket
+
+    ips = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")
+    errs = []
+    for ip in ips:
+        for port in (8083, 8082):
+            s = socket.socket()
+            s.settimeout(5)
+            try:
+                s.connect((ip.strip(), port))
+                s.close()
+                return  # any reachable relay endpoint => proceed
+            except OSError as e:
+                errs.append(f"{ip}:{port}: {e}")
+            finally:
+                s.close()
+    print(
+        "bench.py: axon TPU relay unreachable (" + "; ".join(errs) + "); "
+        "aborting before jax backend init — a half-open relay hangs "
+        "discovery for minutes. Retry when the relay answers.",
+        file=sys.stderr,
+    )
+    sys.exit(2)
+
+
+_probe_relay()
+
 import jax
 
 # machine-keyed persistent compile cache (CPU AOT artifacts are not
@@ -58,10 +96,10 @@ def main():
         # executables) and an OOM-class failure would just OOM again
         os.environ["STREAMED_ATTN"] = "0"
         os.environ["MSDA_PALLAS_REDUCE"] = "0"
-        run()
+        run(retried=True)
 
 
-def run():
+def run(retried=False):
     from uni_encoder_tpu.config import Config
     from uni_encoder_tpu.data.tokenizer import tokenize_task
     from uni_encoder_tpu.inference.postprocess import (
@@ -176,17 +214,27 @@ def run():
     dt = (time.perf_counter() - t0) / (iters * batch)
 
     img_per_s = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "cityscapes_1024x2048_multitask_inference",
-                "value": round(img_per_s, 3),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
-                "batch": batch,
-            }
-        )
-    )
+    # effective gate set in the record: a safe-mode-retried run must be
+    # distinguishable from a default-gates success when scraping stdout
+    # (the hw_session decision table and the driver both parse this line)
+    gates = {
+        k: os.environ[k]
+        for k in ("STREAMED_ATTN", "MSDA_PALLAS_REDUCE", "SWIN_FUSED_BLOCK",
+                  "MSDA_GATHER_SPLIT")
+        if k in os.environ
+    }
+    record = {
+        "metric": "cityscapes_1024x2048_multitask_inference",
+        "value": round(img_per_s, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+        "batch": batch,
+    }
+    if gates:
+        record["gates"] = gates
+    if retried:
+        record["retried"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -68,9 +68,12 @@ def build_evaluator(dataset_name: str, task: str):
         elif task == "instance":
             evals.append(COCOInstanceEvaluator(dataset_name, num_classes=n_things))
         else:
+            # Reference-comparable ADE20K instance AP requires predictions
+            # made with the INSTANCE task token (the reference gates its
+            # label remap on 'instance' in task_type); a panoptic-task run
+            # therefore reports PQ + mIoU only — run --task instance for AP.
             evals.append(CityscapesPanopticEvaluator(dataset_name))
             evals.append(CityscapesSemSegEvaluator(dataset_name))
-            evals.append(COCOInstanceEvaluator(dataset_name, num_classes=n_things))
         return DatasetEvaluators(evals)
     if etype in ("cityscapes_panoptic_seg", "cityscapes_sem_seg", "cityscapes_instance"):
         evals = []

@@ -114,10 +114,12 @@ def test_bench_safe_mode_retry(monkeypatch):
 
     calls = []
 
-    def flaky():
+    def flaky(retried=False):
         calls.append((os.environ.get("STREAMED_ATTN"), os.environ.get("MSDA_PALLAS_REDUCE")))
         if len(calls) == 1:
+            assert not retried
             raise RuntimeError("simulated lowering failure")
+        assert retried  # the fallback run must self-identify in its record
 
     monkeypatch.delenv("STREAMED_ATTN", raising=False)
     monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)

@@ -256,11 +256,20 @@ def test_ade20k_eval_pipeline_perfect_scores(ade_fixture_root):
     loader = build_test_loader(name, mapper)
     assert len(loader) == 2
 
-    ev = build_evaluator(name, "panoptic")  # routes PQ + mIoU + instance AP
+    ev = build_evaluator(name, "panoptic")  # routes PQ + mIoU (AP needs task=instance)
     ev.reset()
     for item in loader:
         ev.process([item], [_ade_gt_as_prediction(item)])
     res = ev.evaluate()
     assert res["panoptic_seg"]["PQ"] == pytest.approx(100.0), res
     assert res["sem_seg"]["mIoU"] == pytest.approx(100.0), res
-    assert res["segm"]["AP"] == pytest.approx(100.0), res
+    assert "segm" not in res  # panoptic-token AP is not reference-comparable
+
+    # instance AP comes from a task=instance run (reference gates its label
+    # remap on 'instance' in task_type — ADVICE r3)
+    ev_i = build_evaluator(name, "instance")
+    ev_i.reset()
+    for item in loader:
+        ev_i.process([item], [_ade_gt_as_prediction(item)])
+    res_i = ev_i.evaluate()
+    assert res_i["segm"]["AP"] == pytest.approx(100.0), res_i

@@ -60,6 +60,7 @@ def test_mha_streamed_branch_matches_dense(monkeypatch):
     match the dense XLA path — covers the pad/slice/out-projection wiring,
     not just the kernel."""
     monkeypatch.setenv("STREAMED_ATTN_INTERPRET", "1")
+    monkeypatch.setenv("STREAMED_ATTN", "1")  # opt-in (default off until hw-verified)
     from uni_encoder_tpu.models.layers import MultiheadAttention
 
     rng = np.random.RandomState(3)

@@ -33,8 +33,10 @@ EOF
   # would otherwise silently replace a failed gated run with a gates-off
   # number and corrupt this decision table. Only the default row keeps the
   # retry (that row doubles as a rehearsal of the driver-run fallback).
-  echo "=== $(date -u +%FT%TZ) bench (default gates)"
+  echo "=== $(date -u +%FT%TZ) bench (default gates — pure XLA after the r4 flip-after-green reset)"
   timeout 3000 python bench.py; echo "bench-default rc=$?"
+  echo "=== $(date -u +%FT%TZ) bench STREAMED_ATTN=1 (streamed cross-attention)"
+  BENCH_NO_RETRY=1 STREAMED_ATTN=1 timeout 3000 python bench.py; echo "bench-sattn rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=2 (row-major)"
   BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=1"

@@ -56,7 +56,11 @@ class Predictor:
         # into the thing list (150-class ids -> 0..99 instance-json ids)
         self.instance_label_remap = None
         if "ade20k" in dataset_name and not self.cfg.model.is_demo:
-            remap = np.zeros((K,), np.int32)
+            # non-thing entries stay -1: the reference's
+            # thing_indices.index() raises on a non-thing label, so a stuff
+            # prediction must be dropped before the remap, never silently
+            # mapped to thing 0 (see infer_segmentation)
+            remap = np.full((K,), -1, np.int32)
             for i, t in enumerate(sorted(thing_contiguous_ids)):
                 remap[t] = i
             self.instance_label_remap = remap
@@ -128,8 +132,14 @@ class Predictor:
                 keep = inst["scores"] > self.cfg.model.test.object_mask_threshold
                 inst = {k: v[keep] for k, v in inst.items()}
             if self.instance_label_remap is not None:
-                # reference oneformer_model.py:470-473 (ade20k label re-index)
-                inst = dict(inst, labels=self.instance_label_remap[inst["labels"]])
+                # reference oneformer_model.py:470-473 (ade20k label re-index).
+                # Drop non-thing predictions first: the remap table holds -1
+                # for stuff classes (the reference's .index() would raise), so
+                # they must not survive into the instance set.
+                remapped = self.instance_label_remap[inst["labels"]]
+                keep = remapped >= 0
+                inst = {k: v[keep] for k, v in inst.items()}
+                inst = dict(inst, labels=remapped[keep])
             out["instances"] = inst
         return out
 

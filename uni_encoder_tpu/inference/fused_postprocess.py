@@ -235,6 +235,15 @@ def fused_multitask_inference(
     and are not materialized here)."""
     Q, Kp1 = mask_cls.shape
     K = Kp1 - 1
+    # The wire format downcasts the semantic/panoptic maps to uint8 below
+    # (labels <= K, segment ids <= Q). That is only lossless while both fit;
+    # fail loudly instead of wrapping when a config grows past 255 (e.g. a
+    # >255-class dataset or topk/Q >= 256).
+    if Q > 255 or K > 255:
+        raise ValueError(
+            f"fused_multitask_inference uint8 wire format requires Q <= 255 "
+            f"and num_classes <= 255; got Q={Q}, K={K}"
+        )
     h, w = mask_pred.shape[1], mask_pred.shape[2]
     H, W = 4 * h, 4 * w
 

@@ -83,12 +83,14 @@ class MultiheadAttention(nn.Module):
         # off-TPU so the whole branch (pad/slice/projection) is testable on
         # CPU (tests/test_streamed_attention.py).
         interpret = os.environ.get("STREAMED_ATTN_INTERPRET") == "1"
-        # STREAMED_ATTN=0 is the kill switch: it forces the XLA attention
-        # form even where the module was built with streamed=True (used by
-        # bench.py's safe-mode retry and for A/B measurement on hardware).
+        # STREAMED_ATTN=1 opts in to the Pallas streamed-KV kernel; the
+        # default is the XLA attention form until the kernel is verified on
+        # real hardware (flip-after-green — tools/hw_session.sh measures it
+        # and flips this default once the measured win is recorded in
+        # BASELINE.md). STREAMED_ATTN=0 remains the explicit kill switch.
         if (
             self.streamed
-            and os.environ.get("STREAMED_ATTN", "1") != "0"
+            and os.environ.get("STREAMED_ATTN", "0") == "1"
             and attn_mask is None
             and B == 1
             and Lk % 2048 == 0
