@@ -38,6 +38,26 @@ DT = torch.float64
 
 
 # ===================================================================== config
+# Two profiles share the whole golden (it reads widths from the state dict):
+#  * "scaled"     — structure-preserving narrow widths, runs by default;
+#  * "production" — the flagship Swin-T 96/[2,2,6,2] / 150-query / 256-dim
+#    config at reduced spatial dims (VERDICT r3 #5): catches width-dependent
+#    wiring the scaled config can't (e.g. the reference TransDSSL's hard-coded
+#    [96,192,384,768] projections, transdssl.py:332-334). Marked slow —
+#    production-width f64 golden + jit compile take minutes on CPU.
+PROFILES = {
+    "scaled": dict(
+        EMBED=32, DEPTHS=(2, 2, 2, 2), HEADS=(1, 2, 4, 8), CONV_DIM=32,
+        NQ=8, K=7, ENC_LAYERS=2, DEC_LAYERS=4, DFF=64, NHEADS=4,
+        SEG_ATOL=5e-3, SEQ_ATOL=1e-5,
+    ),
+    "production": dict(
+        EMBED=96, DEPTHS=(2, 2, 6, 2), HEADS=(3, 6, 12, 24), CONV_DIM=256,
+        NQ=150, K=19, ENC_LAYERS=6, DEC_LAYERS=10, DFF=2048, NHEADS=8,
+        # wider accumulations => more f32-vs-f64 rounding headroom
+        SEG_ATOL=2e-2, SEQ_ATOL=1e-4,
+    ),
+}
 EMBED = 32
 DEPTHS = (2, 2, 2, 2)
 HEADS = (1, 2, 4, 8)
@@ -46,14 +66,22 @@ NQ = 8
 K = 7
 ENC_LAYERS = 2
 DEC_LAYERS = 4  # predictor runs DEC_LAYERS - 1 = 3 rounds (cycles 3 levels)
+DFF = 64
+NHEADS = 4
+SEG_ATOL = 5e-3
+SEQ_ATOL = 1e-5
 H_IN, W_IN = 224, 448
+
+
+def _apply_profile(name):
+    globals().update(PROFILES[name])
 
 
 def _cfg():
     swin = C.SwinConfig(embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS)
     of = C.OneFormerConfig(
         num_object_queries=NQ, dec_layers=DEC_LAYERS, class_dec_layers=2,
-        dim_feedforward=64, hidden_dim=CONV_DIM, nheads=4,
+        dim_feedforward=DFF, hidden_dim=CONV_DIM, nheads=NHEADS,
     )
     head = C.SemSegHeadConfig(
         num_classes=K, convs_dim=CONV_DIM, mask_dim=CONV_DIM,
@@ -265,7 +293,7 @@ def msda_core(value, shapes, loc, attw):
 
 def torch_pixel_decoder(sd, feats, prefix="sem_seg_head.pixel_decoder."):
     Cd = CONV_DIM
-    M, P = 4, 4  # n_heads follows cfg.one_former.nheads (oneformer.py:107)
+    M, P = NHEADS, 4  # n_heads follows cfg.one_former.nheads (oneformer.py:107)
     srcs, poss, shapes = [], [], []
     for i, f in enumerate(["res5", "res4", "res3"]):
         x = t_conv_nhwc(feats[f], sd, prefix + f"input_proj.{i}.0")
@@ -323,7 +351,7 @@ def torch_pixel_decoder(sd, feats, prefix="sem_seg_head.pixel_decoder."):
 def torch_query_decoder(sd, multi_scale, mask_features, task_emb):
     p = "sem_seg_head.predictor."
     Cd = CONV_DIM
-    nheads = 4
+    nheads = NHEADS
     B = mask_features.shape[0]
     L = 3
     dec_layers = DEC_LAYERS - 1
@@ -398,8 +426,12 @@ def torch_query_decoder(sd, multi_scale, mask_features, task_emb):
 
 
 # ====================================================================== test
-@pytest.fixture(scope="module")
-def converted():
+@pytest.fixture(
+    scope="module",
+    params=["scaled", pytest.param("production", marks=pytest.mark.slow)],
+)
+def converted(request):
+    _apply_profile(request.param)
     cfg = _cfg()
     model = UniEncoder(cfg)
     img = jnp.zeros((1, H_IN, W_IN, 3))
@@ -474,7 +506,7 @@ def converted():
     if c.batch_stats:
         variables["batch_stats"] = c.batch_stats
     sd = {k: torch.from_numpy(v).to(DT) for k, v in state.items()}
-    return cfg, model, variables, sd
+    return request.param, cfg, model, variables, sd
 
 
 @pytest.fixture(scope="module")
@@ -485,7 +517,8 @@ def precise():
 
 
 def test_seg_forward_whole_model_parity(converted, precise):
-    cfg, model, variables, sd = converted
+    profile, cfg, model, variables, sd = converted
+    _apply_profile(profile)  # golden fns read the module-level profile globals
     rng = np.random.RandomState(1)
     img = rng.randn(1, H_IN, W_IN, 3).astype(np.float32)
     task_tokens = rng.randint(0, 1000, (1, 77)).astype(np.int32)
@@ -500,12 +533,13 @@ def test_seg_forward_whole_model_parity(converted, precise):
     task = t_mlp(torch.from_numpy(task_tokens.astype(np.float64)), sd, "task_mlp", 2)
     pred_logits, pred_masks = torch_query_decoder(sd, multi_scale, mask_features, task)
 
-    np.testing.assert_allclose(got_logits, pred_logits.numpy(), atol=5e-3, rtol=1e-3)
-    np.testing.assert_allclose(got_masks, pred_masks.numpy(), atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(got_logits, pred_logits.numpy(), atol=SEG_ATOL, rtol=1e-3)
+    np.testing.assert_allclose(got_masks, pred_masks.numpy(), atol=SEG_ATOL, rtol=1e-3)
 
 
 def test_sequence_forward_whole_model_parity(converted, precise):
-    cfg, model, variables, sd = converted
+    profile, cfg, model, variables, sd = converted
+    _apply_profile(profile)  # golden fns read the module-level profile globals
     rng = np.random.RandomState(2)
     cur = rng.randn(1, H_IN, W_IN, 3).astype(np.float32) * 0.5
     prev = rng.randn(1, H_IN, W_IN, 3).astype(np.float32) * 0.5
@@ -556,8 +590,8 @@ def test_sequence_forward_whole_model_parity(converted, precise):
     h = h.mean(dim=(1, 2))
     h = 0.01 * h.reshape(-1, 2, 1, 6)
     aa0, t0 = h[:, 0, :, :3], h[:, 0, :, 3:]
-    np.testing.assert_allclose(np.asarray(out["axisangle"]), aa0.numpy(), atol=1e-5, rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(out["translation"]), t0.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["axisangle"]), aa0.numpy(), atol=SEQ_ATOL, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["translation"]), t0.numpy(), atol=SEQ_ATOL, rtol=1e-4)
 
     # ---- motion decoders (flow out_dim=3, mask out_dim=1)
     ego = torch.cat([t0, aa0], dim=-1).reshape(1, 1, 1, 6)
@@ -580,11 +614,11 @@ def test_sequence_forward_whole_model_parity(converted, precise):
 
     flow = motion("motion_decoder", 3)
     np.testing.assert_allclose(
-        np.asarray(out["complete_flow"]), (0.005 * flow[0]).numpy(), atol=1e-5, rtol=1e-4
+        np.asarray(out["complete_flow"]), (0.005 * flow[0]).numpy(), atol=SEQ_ATOL, rtol=1e-4
     )
     prob = motion("motion_mask", 1)
     np.testing.assert_allclose(
-        np.asarray(out["motion_mask"]), torch.sigmoid(0.005 * prob[0]).numpy(), atol=1e-5, rtol=1e-4
+        np.asarray(out["motion_mask"]), torch.sigmoid(0.005 * prob[0]).numpy(), atol=SEQ_ATOL, rtol=1e-4
     )
 
     # ---- TransDSSL depth decoder on the current frame
@@ -626,4 +660,4 @@ def test_sequence_forward_whole_model_parity(converted, precise):
     l0 = t_interp(l1, scale_factor=2, align_corners=True)
     path0 = ffb(dp + "refinenet0", path1, l0)
     disp0 = head(path0, "output_conv")
-    np.testing.assert_allclose(np.asarray(out["disp"]), disp0.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["disp"]), disp0.numpy(), atol=SEQ_ATOL, rtol=1e-4)
