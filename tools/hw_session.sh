@@ -47,5 +47,9 @@ EOF
   BENCH_NO_RETRY=1 SWIN_FUSED_BLOCK=1 timeout 3000 python bench.py; echo "bench-swin rc=$?"
   echo "=== $(date -u +%FT%TZ) bench MSDA_GATHER_SPLIT=2 (gather chunking)"
   BENCH_NO_RETRY=1 MSDA_GATHER_SPLIT=2 timeout 3000 python bench.py; echo "bench-gsplit rc=$?"
+  # most-likely winner combination up front: if the window closes before a
+  # manual combined re-run, this row is the headline candidate
+  echo "=== $(date -u +%FT%TZ) bench STREAMED_ATTN=1 + MSDA_PALLAS_REDUCE=2 (combo)"
+  BENCH_NO_RETRY=1 STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-combo rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
 } 2>&1 | tee "$LOG"

@@ -167,6 +167,11 @@ class ModelConfig:
     is_demo: bool = False
     # compute dtype for the jitted forward ("float32" | "bfloat16")
     dtype: str = "float32"
+    # disparity-pyramid scale count for the sequence (depth/motion) path.
+    # The reference trains with 4 (monodepth_loss.py num_scales); the
+    # multichip dryrun's micro config uses 2 to shrink the traced step graph
+    # while keeping the identical loss/decoder structure.
+    num_depth_scales: int = 4
 
 
 # --------------------------------------------------------------------------- input / data

@@ -131,6 +131,10 @@ class MotionDecoderV2(nn.Module):
 
     out_dim: int = 3
     train_bn: bool = False
+    # emitted output scales (reference: 4); the coarse-to-fine stage chain
+    # always runs in full — n_scales < 4 only drops coarse outputs (micro
+    # dryrun knob via ModelConfig.num_depth_scales)
+    n_scales: int = 4
     # per-stage input feature channels (stage 0 = RGB pair, 1 = refined res2,
     # 2..5 = concatenated two-frame res2..res5)
     num_inp_feat = (6, 64, 192, 384, 768, 1536)
@@ -172,7 +176,7 @@ class MotionDecoderV2(nn.Module):
         out0 = stage(0, feat0, out1)
 
         outs = {}
-        for scale, o in enumerate((out0, out1, out2, out3)):
+        for scale, o in enumerate((out0, out1, out2, out3)[: self.n_scales]):
             if self.out_dim == 1:
                 outs[("motion_prob", scale)] = 0.005 * o
                 outs[("motion_mask", scale)] = jax.nn.sigmoid(0.005 * o)

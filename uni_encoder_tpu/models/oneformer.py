@@ -116,7 +116,7 @@ def build_pixel_decoder(cfg: ModelConfig, depth: bool) -> nn.Module:
             name=modname,
         )
     if name == "TransDSSL":
-        return cls(features=h.convs_dim, name=modname)
+        return cls(features=h.convs_dim, n_scales=cfg.num_depth_scales, name=modname)
     # FPN-family decoders take conv/mask dims
     try:
         return cls(conv_dim=h.convs_dim, mask_dim=h.mask_dim, name=modname)
@@ -150,8 +150,14 @@ class UniEncoder(nn.Module):
         # task MLP consumes raw token ids as floats (reference quirk)
         self.task_mlp = MLP(of.hidden_dim, of.hidden_dim, 2, name="task_mlp")
         self.pose_decoder = ResNetLikePoseDecoder(train_bn=cfg.is_train, name="pose_decoder")
-        self.motion_decoder = MotionDecoderV2(out_dim=3, train_bn=cfg.is_train, name="motion_decoder")
-        self.motion_mask = MotionDecoderV2(out_dim=1, train_bn=cfg.is_train, name="motion_mask")
+        self.motion_decoder = MotionDecoderV2(
+            out_dim=3, train_bn=cfg.is_train, n_scales=cfg.num_depth_scales,
+            name="motion_decoder",
+        )
+        self.motion_mask = MotionDecoderV2(
+            out_dim=1, train_bn=cfg.is_train, n_scales=cfg.num_depth_scales,
+            name="motion_mask",
+        )
 
     def forward_segmentation(self, images: jnp.ndarray, task_tokens: jnp.ndarray) -> Dict:
         """images: (B, H, W, 3) normalized; task_tokens: (B, task_seq_len) int."""
@@ -212,7 +218,7 @@ class UniEncoder(nn.Module):
 
         disps = self.depth_decoder(f_cur)
         outputs = {
-            "disps": {s: disps[("disp", s)] for s in range(4)},
+            "disps": {s: disps[("disp", s)] for s in range(self.cfg.num_depth_scales)},
             "cam_T_cam": {},
             "complete_flow": {},
             "motion_mask": {},
@@ -252,7 +258,7 @@ class UniEncoder(nn.Module):
         flow = self.motion_decoder(full_res2, fm2, ego2)
         prob = self.motion_mask(full_res2, fm2, ego2)
         for i, (frame_id, _, _, _) in enumerate(frame_specs):
-            for s in range(4):
+            for s in range(self.cfg.num_depth_scales):
                 outputs["complete_flow"][(frame_id, s)] = flow[("complete_flow", s)][i * B : (i + 1) * B]
                 outputs["motion_mask"][(frame_id, s)] = prob[("motion_mask", s)][i * B : (i + 1) * B]
                 outputs["motion_prob"][(frame_id, s)] = prob[("motion_prob", s)][i * B : (i + 1) * B]

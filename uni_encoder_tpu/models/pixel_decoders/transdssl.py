@@ -70,6 +70,10 @@ def soft_att_depth(x: jnp.ndarray, alpha: float = 0.01, beta: float = 1.0) -> jn
 class TransDSSL(nn.Module):
     features: int = 256
     n_bins: int = 32
+    # scales to emit (reference: 4). The refinement path always runs in
+    # full; n_scales < 4 only drops the coarse disp heads (used by the
+    # multichip dryrun's micro config via ModelConfig.num_depth_scales).
+    n_scales: int = 4
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -85,15 +89,18 @@ class TransDSSL(nn.Module):
         l3 = nn.Conv(F, (1, 1), use_bias=False, name="layer3_rn")(features["res4"])
         l4 = nn.Conv(F, (1, 1), use_bias=False, name="layer4_rn")(features["res5"])
 
+        outs = {}
         path4 = FeatureFusionBlock(F, input_length=1, name="refinenet4")(l4)
         path3 = FeatureFusionBlock(F, name="refinenet3")(path4, l3)
-        disp3 = out_head(path3, "output_conv4")
+        if self.n_scales > 3:
+            outs[("disp", 3)] = out_head(path3, "output_conv4")
         path2 = FeatureFusionBlock(F, name="refinenet2")(path3, l2)
-        disp2 = out_head(path2, "output_conv3")
+        if self.n_scales > 2:
+            outs[("disp", 2)] = out_head(path2, "output_conv3")
         path1 = FeatureFusionBlock(F, name="refinenet1")(path2, l1)
-        disp1 = out_head(path1, "output_conv2")
+        if self.n_scales > 1:
+            outs[("disp", 1)] = out_head(path1, "output_conv2")
         l0 = interpolate(l1, scale_factor=2, mode="bilinear", align_corners=True)
         path0 = FeatureFusionBlock(F, name="refinenet0")(path1, l0)
-        disp0 = out_head(path0, "output_conv")
-
-        return {("disp", 3): disp3, ("disp", 2): disp2, ("disp", 1): disp1, ("disp", 0): disp0}
+        outs[("disp", 0)] = out_head(path0, "output_conv")
+        return outs

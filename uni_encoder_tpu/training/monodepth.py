@@ -139,7 +139,11 @@ def monodepth_loss(
     color0 = targets["color"][0]
     B, H, W, _ = color0.shape
     K, inv_K = targets["K"], targets["inv_K"]
-    S = 4
+    # scale count follows the decoder's emitted disparity pyramid (the
+    # reference trains with num_scales=4; ModelConfig.num_depth_scales lets
+    # the multichip dryrun's micro config run the identical loss structure
+    # over fewer scales)
+    S = len(outputs["disps"])
     F = len(frame_ids)
 
     ramp = jnp.clip(3.0 * step / ramp_steps, 0.0, 1.0)
@@ -284,7 +288,7 @@ def monodepth_loss(
         for k in COEFS:
             scale_total = scale_total + losses_ps[k] * coefs[k]
             losses[k] = losses[k] + losses_ps[k]
-        total = total + scale_total / 4.0
+        total = total + scale_total / S  # reference divides by num_scales
 
     out = {f"monodepth/{k}": v for k, v in losses.items()}
     out["loss_monodepth"] = total

@@ -20,10 +20,19 @@ def machine_key() -> str:
     """Short fingerprint of this host's CPU (ISA features + core count)."""
     txt = platform.machine() + "\0" + platform.processor()
     try:
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features", "model name")):
+                # take the first occurrence of EACH key: "model name" appears
+                # before "flags" on x86, and stopping at the first match used
+                # to drop the feature flags from the key entirely — two hosts
+                # with the same CPU model but different enabled features
+                # (e.g. hypervisor-masked AVX512/AMX) then shared a cache dir
+                key = line.split(":")[0].strip()
+                if key in ("flags", "Features", "model name") and key not in seen:
+                    seen.add(key)
                     txt += "\0" + line.strip()
+                if len(seen) == 3:
                     break
     except OSError:
         pass
