@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--datasets-root", default=None)
     ap.add_argument("--checkpoint-period", type=int, default=5000)
     ap.add_argument("--log-period", type=int, default=20)
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="limit the data-parallel mesh to the first N devices "
+                         "(default: all; per-modality batch must divide by it)")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args()
 
@@ -99,9 +102,12 @@ def main():
     assert seg_items and seq_items, "need both segmentation and sequence train data"
 
     seg_mapper = SegmentationTrainMapper(
-        num_texts=cfg.model.one_former.num_object_queries - cfg.model.text_encoder.n_ctx
+        crop_size=tuple(cfg.input.seg_crop_train),
+        min_sizes=tuple(cfg.input.seg_min_size_train),
+        max_size=cfg.input.seg_max_size_train,
+        num_texts=cfg.model.one_former.num_object_queries - cfg.model.text_encoder.n_ctx,
     )
-    seq_mapper = SequenceTrainMapper()
+    seq_mapper = SequenceTrainMapper(hw=tuple(cfg.input.depth_hw_train))
     sampler = iter(BalancedSampler(seg_items, seq_items))
 
     def next_batches():
@@ -117,7 +123,11 @@ def main():
                 logger.warning(f"skipping unreadable item: {e}")
         return stack_batch(seg), stack_batch(seq)
 
-    mesh = make_mesh()
+    mesh = make_mesh(args.num_devices)
+    assert batch % mesh.shape["data"] == 0, (
+        f"per-modality batch {batch} must divide the data-parallel axis "
+        f"({mesh.shape['data']} devices) — adjust --batch/--num-devices"
+    )
     trainer = Trainer(cfg)
     seg_b, seq_b = next_batches()
     with mesh:

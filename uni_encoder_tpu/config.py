@@ -186,6 +186,13 @@ class InputConfig:
     depth_min_size_test: int = 192
     depth_max_size_test: int = 512
     format: str = "RGB"
+    # train-time sizes (reference model/config.py:110-128 —
+    # INPUT.SEG_MIN_SIZE_TRAIN / INPUT.SEG_CROP.SIZE / INPUT.DEPTH_CROP.SIZE;
+    # defaults follow the production cityscapes recipe)
+    seg_crop_train: Tuple[int, int] = (512, 1024)
+    seg_min_size_train: Tuple[int, ...] = tuple(int(x * 0.1 * 1024) for x in range(5, 21))
+    seg_max_size_train: int = 4096
+    depth_hw_train: Tuple[int, int] = (192, 512)
 
 
 @dataclass(frozen=True)

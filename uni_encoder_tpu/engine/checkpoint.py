@@ -401,6 +401,12 @@ def save_checkpoint(path: str, variables, step: int = 0) -> None:
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(os.path.join(path, f"step_{step}")), variables, force=True)
+    # StandardCheckpointer is async: block until the write is durable BEFORE
+    # publishing the last_checkpoint pointer (a crash in the gap would leave
+    # the pointer at a half-written step), and close the background machinery
+    # so interpreter shutdown doesn't race its executor.
+    ckptr.wait_until_finished()
+    ckptr.close()
     with open(os.path.join(path, "last_checkpoint"), "w") as f:
         f.write(f"step_{step}")
 

@@ -37,6 +37,20 @@ def machine_key() -> str:
     except OSError:
         pass
     txt += "\0" + str(os.cpu_count())
+    # /proc/cpuinfo alone is NOT a sufficient fingerprint under a hypervisor:
+    # this container migrates between physical hosts that all virtualize the
+    # same generic cpuinfo (model name "Intel(R) Xeon(R) Processor @ 2.10GHz",
+    # microcode 0x1, identical flags), while LLVM's host detection (cpuid)
+    # sees the real microarch — observed in r4 as cpu_aot_loader
+    # "+prefer-no-gather is not supported on the host machine" when loading
+    # artifacts cached earlier the same day on a sibling host (SIGILL risk).
+    # The host kernel's boot_id discriminates physical machines (and reboots:
+    # a cold cache is safe, a poisoned one is not).
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            txt += "\0" + f.read().strip()
+    except OSError:
+        pass
     import jax
 
     txt += "\0" + jax.__version__
