@@ -1,60 +1,29 @@
-"""Persistent-compile-cache setup, keyed by machine fingerprint.
+"""Persistent-compile-cache setup — TPU artifacts only.
 
-JAX's persistent compilation cache stores CPU AOT artifacts whose generated
-code depends on the *host CPU's* feature set (AVX variants etc.), but the
-cache key does not include those features. A cache written on one machine
-can therefore poison runs on another (cpu_aot_loader "+prefer-no-gather is
-not supported on the host machine"). Fix: place each machine's entries in a
-subdirectory keyed by a fingerprint of the CPU, so a foreign machine sees an
-empty cache instead of unloadable artifacts.
+JAX's persistent compilation cache stores XLA:CPU AOT artifacts whose
+generated code depends on the *host CPU's* cpuid-detected features (AVX/AMX
+variants, gather/scatter tuning), but the cache key does not include them.
+Worse, this environment's VM live-migrates between physical hosts WITHOUT a
+reboot: /proc/cpuinfo is virtualized identically everywhere and even the
+kernel boot_id stays constant across a migration, so NO static host
+fingerprint can make CPU AOT artifacts safe — cpu_aot_loader
+"+prefer-no-gather is not supported on the host machine ... could lead to
+execution errors such as SIGILL" was observed (r4) when loading artifacts
+cached earlier the SAME DAY under the SAME boot_id. Every fingerprint
+scheme tried (cpuinfo flags, model name, core count, boot_id) failed in
+practice.
+
+TPU executables have no such hazard: XLA's own cache key covers the TPU
+target (and the serialized program targets the TPU, not the host CPU), and
+compiles through the axon tunnel cost 3-10 minutes — exactly what a
+persistent cache should amortize. So: enable the persistent cache only when
+the effective backend is a TPU; leave it off for CPU runs (tests, the
+multichip dryrun), whose in-process jit cache still works within a run.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
-import platform
-
-
-def machine_key() -> str:
-    """Short fingerprint of this host's CPU (ISA features + core count)."""
-    txt = platform.machine() + "\0" + platform.processor()
-    try:
-        seen = set()
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                # take the first occurrence of EACH key: "model name" appears
-                # before "flags" on x86, and stopping at the first match used
-                # to drop the feature flags from the key entirely — two hosts
-                # with the same CPU model but different enabled features
-                # (e.g. hypervisor-masked AVX512/AMX) then shared a cache dir
-                key = line.split(":")[0].strip()
-                if key in ("flags", "Features", "model name") and key not in seen:
-                    seen.add(key)
-                    txt += "\0" + line.strip()
-                if len(seen) == 3:
-                    break
-    except OSError:
-        pass
-    txt += "\0" + str(os.cpu_count())
-    # /proc/cpuinfo alone is NOT a sufficient fingerprint under a hypervisor:
-    # this container migrates between physical hosts that all virtualize the
-    # same generic cpuinfo (model name "Intel(R) Xeon(R) Processor @ 2.10GHz",
-    # microcode 0x1, identical flags), while LLVM's host detection (cpuid)
-    # sees the real microarch — observed in r4 as cpu_aot_loader
-    # "+prefer-no-gather is not supported on the host machine" when loading
-    # artifacts cached earlier the same day on a sibling host (SIGILL risk).
-    # The host kernel's boot_id discriminates physical machines (and reboots:
-    # a cold cache is safe, a poisoned one is not).
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            txt += "\0" + f.read().strip()
-    except OSError:
-        pass
-    import jax
-
-    txt += "\0" + jax.__version__
-    return hashlib.sha1(txt.encode()).hexdigest()[:12]
 
 
 def honor_platform_env() -> None:
@@ -72,17 +41,43 @@ def honor_platform_env() -> None:
         jax.config.update("jax_platforms", env)
 
 
+def _effective_platform() -> str:
+    """The platform jax will use, WITHOUT initializing any backend."""
+    import jax
+
+    return jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+
+
 def setup_compile_cache(repo_root: str | None = None) -> str:
-    """Point jax's persistent compile cache at a machine-keyed subdir of
-    <repo>/.jax_cache. Safe to call multiple times. Returns the dir."""
+    """Point jax's persistent compile cache at <repo>/.jax_cache/tpu when the
+    effective backend is a TPU; disable it for CPU backends (see module
+    docstring — CPU AOT artifacts are not safe under live migration). Safe
+    to call multiple times. Returns the cache dir ("" when disabled)."""
     import jax
 
     honor_platform_env()
+    plat = _effective_platform()
+    if not ("axon" in plat or "tpu" in plat):
+        # covers "cpu" and any non-TPU backend; "" never happens here (the
+        # axon env always sets JAX_PLATFORMS) but would also land on the
+        # safe side only if a TPU string is present
+        jax.config.update("jax_compilation_cache_dir", None)
+        return ""
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    d = os.path.join(repo_root, ".jax_cache", machine_key())
+    d = os.path.join(repo_root, ".jax_cache", "tpu")
     os.makedirs(d, exist_ok=True)
     # the axon sitecustomize imports jax at interpreter startup, so env vars
     # are read too late; jax.config is the reliable path.
     jax.config.update("jax_compilation_cache_dir", d)
     return d
+
+
+def disable_compile_cache() -> None:
+    """Turn the persistent cache off for the rest of the process — call when
+    switching an axon process to the CPU backend (e.g. the multichip dryrun),
+    where a previously-enabled cache dir would start collecting unsafe CPU
+    AOT artifacts."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
