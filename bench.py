@@ -24,48 +24,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _probe_relay():
-    """Fail fast when the axon TPU relay is down.
+# fail fast on a dead axon relay BEFORE importing jax (a half-open relay
+# hangs backend discovery ~25 min), then enable the TPU-only persistent
+# compile cache — see uni_encoder_tpu/utils/cache.py for both
+from uni_encoder_tpu.utils.cache import probe_axon_relay, setup_compile_cache
 
-    A dead/half-open relay otherwise hangs jax backend discovery for ~25
-    minutes before erroring (measured in BENCH_r03) — probe the relay with a
-    5 s TCP connect BEFORE importing jax so a dead relay costs seconds, not
-    the driver's whole window. Only applies when this process targets the
-    axon backend; a local/real TPU runtime has no relay to probe."""
-    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
-        return
-    import socket
-
-    ips = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")
-    errs = []
-    for ip in ips:
-        for port in (8083, 8082):
-            s = socket.socket()
-            s.settimeout(5)
-            try:
-                s.connect((ip.strip(), port))
-                s.close()
-                return  # any reachable relay endpoint => proceed
-            except OSError as e:
-                errs.append(f"{ip}:{port}: {e}")
-            finally:
-                s.close()
-    print(
-        "bench.py: axon TPU relay unreachable (" + "; ".join(errs) + "); "
-        "aborting before jax backend init — a half-open relay hangs "
-        "discovery for minutes. Retry when the relay answers.",
-        file=sys.stderr,
-    )
-    sys.exit(2)
-
-
-_probe_relay()
+probe_axon_relay()
 
 import jax
-
-# machine-keyed persistent compile cache (CPU AOT artifacts are not
-# portable across hosts; see uni_encoder_tpu/utils/cache.py)
-from uni_encoder_tpu.utils.cache import setup_compile_cache
 
 setup_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
@@ -77,15 +43,22 @@ BASELINE_IMG_PER_S = 4.0
 
 
 def main():
-    # Safe-mode retry: the default gate set includes Pallas kernels
-    # (streamed cross-attention; optionally MSDA_PALLAS_REDUCE). If the
-    # full-context compile/run fails on this hardware for any reason, fall
-    # back once to the pure-XLA form so the bench always produces a number.
+    # Safe-mode retry: if a GATED kernel (streamed cross-attention /
+    # MSDA_PALLAS_REDUCE, enabled via env) makes the full-context compile/run
+    # fail on this hardware, fall back once to the pure-XLA form so the bench
+    # always produces a number. With every gate already off (the shipped
+    # flip-after-green defaults) the retry would re-run a byte-identical
+    # configuration — skip it; it cannot succeed where the first run failed.
     retry = False
+    gates_on = (
+        os.environ.get("STREAMED_ATTN", "0") != "0"
+        or os.environ.get("MSDA_PALLAS_REDUCE", "0") != "0"
+        or os.environ.get("SWIN_FUSED_BLOCK", "0") != "0"
+    )
     try:
         run()
     except Exception as e:  # noqa: BLE001 — any failure: report + safe rerun
-        if os.environ.get("BENCH_NO_RETRY") == "1":
+        if os.environ.get("BENCH_NO_RETRY") == "1" or not gates_on:
             raise
         print(f"# default-gate bench failed ({type(e).__name__}: {e}); "
               "retrying with STREAMED_ATTN=0 MSDA_PALLAS_REDUCE=0", file=sys.stderr)
@@ -96,6 +69,7 @@ def main():
         # executables) and an OOM-class failure would just OOM again
         os.environ["STREAMED_ATTN"] = "0"
         os.environ["MSDA_PALLAS_REDUCE"] = "0"
+        os.environ["SWIN_FUSED_BLOCK"] = "0"
         run(retried=True)
 
 

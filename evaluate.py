@@ -18,11 +18,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
+# fail fast on a dead axon relay BEFORE importing jax (a half-open relay
+# hangs backend discovery ~25 min), then enable the TPU-only persistent
+# compile cache — see uni_encoder_tpu/utils/cache.py for both
+from uni_encoder_tpu.utils.cache import probe_axon_relay, setup_compile_cache
 
-# machine-keyed persistent compile cache (CPU AOT artifacts are not
-# portable across hosts; see uni_encoder_tpu/utils/cache.py)
-from uni_encoder_tpu.utils.cache import setup_compile_cache
+probe_axon_relay()
+
+import jax
 
 setup_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 

@@ -24,8 +24,9 @@ import jax
 # env var; the config update is the reliable override.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# machine-keyed persistent compile cache (CPU AOT artifacts are not portable
-# across hosts; see uni_encoder_tpu/utils/cache.py)
+# persistent compile cache is TPU-only (CPU AOT artifacts are host-cpuid-
+# specific and this VM live-migrates; see uni_encoder_tpu/utils/cache.py) —
+# under the CPU override above this call leaves the cache disabled
 from uni_encoder_tpu.utils.cache import setup_compile_cache
 
 setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -104,7 +104,8 @@ def test_semantic_tta_flip_consistency():
 
 def test_bench_safe_mode_retry(monkeypatch):
     """bench.main() must fall back exactly once to the pure-XLA gate set
-    when the default-gate run fails, and honor BENCH_NO_RETRY=1."""
+    when a GATED run fails, honor BENCH_NO_RETRY=1, and skip the retry when
+    every gate is already off (a byte-identical rerun cannot succeed)."""
     import bench
 
     # bench.main() mutates os.environ directly; swap in a throwaway copy so
@@ -121,17 +122,29 @@ def test_bench_safe_mode_retry(monkeypatch):
             raise RuntimeError("simulated lowering failure")
         assert retried  # the fallback run must self-identify in its record
 
-    monkeypatch.delenv("STREAMED_ATTN", raising=False)
+    # a gated run retries once with the pure-XLA gate set
+    monkeypatch.setenv("STREAMED_ATTN", "1")
     monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
     monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     monkeypatch.setattr(bench, "run", flaky)
     bench.main()
-    assert calls == [(None, None), ("0", "0")]
+    assert calls == [("1", None), ("0", "0")]
 
+    # BENCH_NO_RETRY=1 suppresses the fallback even for a gated run
+    calls.clear()
+    monkeypatch.setenv("STREAMED_ATTN", "1")
+    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.setenv("BENCH_NO_RETRY", "1")
+    with pytest.raises(RuntimeError):
+        bench.main()
+    assert len(calls) == 1
+
+    # with every gate off (the shipped flip-after-green defaults) the retry
+    # would re-run an identical configuration — it must not happen
     calls.clear()
     monkeypatch.delenv("STREAMED_ATTN", raising=False)
     monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
-    monkeypatch.setenv("BENCH_NO_RETRY", "1")
+    monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     with pytest.raises(RuntimeError):
         bench.main()
     assert len(calls) == 1

@@ -18,7 +18,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from uni_encoder_tpu.utils.cache import setup_compile_cache
+from uni_encoder_tpu.utils.cache import probe_axon_relay, setup_compile_cache
+
+probe_axon_relay()
 
 setup_compile_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -173,8 +173,23 @@ class ModelConfig:
     # while keeping the identical loss/decoder structure.
     num_depth_scales: int = 4
 
+    def __post_init__(self):
+        # the disparity decoders (TransDSSL / monodepth2 / DCMNet) emit at
+        # most scales 0..3; fail at the config instead of with a KeyError
+        # deep inside forward_sequence_train / an empty-stack monodepth loss
+        if not 1 <= self.num_depth_scales <= 4:
+            raise ValueError(
+                f"num_depth_scales must be in 1..4, got {self.num_depth_scales}"
+            )
+
 
 # --------------------------------------------------------------------------- input / data
+
+# the production cityscapes multi-scale train recipe: short side sampled from
+# 0.5x..2.0x of 1024 in 0.1 steps (reference model/config.py:110-113
+# INPUT.SEG_MIN_SIZE_TRAIN). Single source of truth — SegmentationTrainMapper
+# imports this for its keyword default.
+SEG_MIN_SIZES_TRAIN: Tuple[int, ...] = tuple(int(x * 0.1 * 1024) for x in range(5, 21))
 
 
 @dataclass(frozen=True)
@@ -190,7 +205,7 @@ class InputConfig:
     # INPUT.SEG_MIN_SIZE_TRAIN / INPUT.SEG_CROP.SIZE / INPUT.DEPTH_CROP.SIZE;
     # defaults follow the production cityscapes recipe)
     seg_crop_train: Tuple[int, int] = (512, 1024)
-    seg_min_size_train: Tuple[int, ...] = tuple(int(x * 0.1 * 1024) for x in range(5, 21))
+    seg_min_size_train: Tuple[int, ...] = SEG_MIN_SIZES_TRAIN
     seg_max_size_train: int = 4096
     depth_hw_train: Tuple[int, int] = (192, 512)
 

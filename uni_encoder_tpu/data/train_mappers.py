@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from ..config import SEG_MIN_SIZES_TRAIN
 from .cityscapes_labels import IGNORE_LABEL, NUM_CLASSES, THING_TRAIN_IDS
 from .mappers import intrinsics_from_camera_json, read_image
 from .tokenizer import tokenize_task
@@ -76,7 +77,7 @@ class SegmentationTrainMapper:
     def __init__(
         self,
         crop_size: Tuple[int, int] = (512, 1024),
-        min_sizes: Sequence[int] = tuple(int(x * 0.1 * 1024) for x in range(5, 21)),
+        min_sizes: Sequence[int] = SEG_MIN_SIZES_TRAIN,
         max_size: int = 4096,
         task_prob_semantic: float = 0.33,
         task_prob_instance: float = 0.66,

@@ -26,6 +26,58 @@ from __future__ import annotations
 import os
 
 
+def probe_axon_relay(timeout_s: float = 5.0) -> None:
+    """Fail fast when this process targets the axon TPU relay and the relay
+    is down.
+
+    A dead/half-open relay hangs jax backend discovery for ~25 minutes
+    before erroring (measured in BENCH_r03) — probe it with a short TCP
+    connect BEFORE importing jax so a dead relay costs seconds, not a whole
+    driver window. No-op unless JAX_PLATFORMS names axon (a local/real TPU
+    runtime has no relay to probe; CPU runs never touch it). Call this at
+    the very top of every TPU entry point, before `import jax` — this module
+    deliberately imports jax only inside functions so the probe can run
+    first."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    import sys
+
+    # if jax is already imported and its platform was overridden away from
+    # axon (jax.config wins over the env var — see honor_platform_env), the
+    # relay is irrelevant to this process
+    _jax = sys.modules.get("jax")
+    if _jax is not None:
+        try:
+            plat = _jax.config.jax_platforms
+            if plat and "axon" not in plat:
+                return
+        except Exception:
+            pass
+    import socket
+
+    ips = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")
+    errs = []
+    for ip in ips:
+        for port in (8083, 8082):
+            s = socket.socket()
+            s.settimeout(timeout_s)
+            try:
+                s.connect((ip.strip(), port))
+                return  # any reachable relay endpoint => proceed
+            except OSError as e:
+                errs.append(f"{ip}:{port}: {e}")
+            finally:
+                s.close()
+    print(
+        "axon TPU relay unreachable (" + "; ".join(errs) + "); aborting "
+        "before jax backend init — a half-open relay hangs discovery for "
+        "minutes. Retry when the relay answers, or run with "
+        "JAX_PLATFORMS=cpu.",
+        file=sys.stderr,
+    )
+    sys.exit(2)
+
+
 def honor_platform_env() -> None:
     """Make JAX_PLATFORMS reliable under the axon sitecustomize.
 
@@ -57,10 +109,13 @@ def setup_compile_cache(repo_root: str | None = None) -> str:
 
     honor_platform_env()
     plat = _effective_platform()
-    if not ("axon" in plat or "tpu" in plat):
-        # covers "cpu" and any non-TPU backend; "" never happens here (the
-        # axon env always sets JAX_PLATFORMS) but would also land on the
-        # safe side only if a TPU string is present
+    platforms = {p.strip() for p in plat.split(",") if p.strip()}
+    if platforms and not (platforms & {"axon", "tpu"}):
+        # explicitly CPU-only (tests, the multichip dryrun): the unsafe
+        # combination is a CPU-targeted run on this migrating VM. An empty
+        # string (jax autodetect — e.g. a real TPU VM with no env var) and
+        # mixed strings ("axon,cpu") keep the cache: their default backend
+        # is the TPU and that is what gets compiled.
         jax.config.update("jax_compilation_cache_dir", None)
         return ""
     if repo_root is None:
