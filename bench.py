@@ -41,8 +41,41 @@ import numpy as np
 
 BASELINE_IMG_PER_S = 4.0
 
+GATE_KEYS = ("STREAMED_ATTN", "MSDA_PALLAS_REDUCE", "SWIN_FUSED_BLOCK",
+             "MSDA_GATHER_SPLIT")
+GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_gates.json")
+
+
+def _load_gate_defaults(path=GATES_FILE, environ=os.environ):
+    """Apply the hardware-verified gate set as env DEFAULTS (explicit env
+    always wins).
+
+    tools/hw_session.sh benches every gated-kernel combination on the real
+    chip and writes the measured winner to .bench_gates.json — so the
+    flip-after-green policy holds even when the TPU window opens with no
+    builder session alive to edit the in-code defaults: the driver's bench
+    picks up the verified winner automatically. BENCH_IGNORE_GATES_FILE=1
+    opts out (hw_session's own decision-table rows use it so the file can
+    never contaminate its baseline row)."""
+    if environ.get("BENCH_IGNORE_GATES_FILE") == "1":
+        return False
+    try:
+        with open(path) as f:
+            gates = json.load(f).get("gates", {})
+    except (OSError, ValueError):
+        return False
+    applied = False
+    for k in GATE_KEYS:
+        if k in gates and k not in environ:
+            environ[k] = str(gates[k])
+            applied = True
+    return applied
+
 
 def main():
+    if _load_gate_defaults():
+        os.environ["BENCH_GATES_SOURCE"] = "decision_file"
     # Safe-mode retry: if a GATED kernel (streamed cross-attention /
     # MSDA_PALLAS_REDUCE, enabled via env) makes the full-context compile/run
     # fail on this hardware, fall back once to the pure-XLA form so the bench
@@ -191,12 +224,7 @@ def run(retried=False):
     # effective gate set in the record: a safe-mode-retried run must be
     # distinguishable from a default-gates success when scraping stdout
     # (the hw_session decision table and the driver both parse this line)
-    gates = {
-        k: os.environ[k]
-        for k in ("STREAMED_ATTN", "MSDA_PALLAS_REDUCE", "SWIN_FUSED_BLOCK",
-                  "MSDA_GATHER_SPLIT")
-        if k in os.environ
-    }
+    gates = {k: os.environ[k] for k in GATE_KEYS if k in os.environ}
     record = {
         "metric": "cityscapes_1024x2048_multitask_inference",
         "value": round(img_per_s, 3),
@@ -206,6 +234,8 @@ def run(retried=False):
     }
     if gates:
         record["gates"] = gates
+    if os.environ.get("BENCH_GATES_SOURCE"):
+        record["gates_source"] = os.environ["BENCH_GATES_SOURCE"]
     if retried:
         record["retried"] = True
     print(json.dumps(record))

@@ -102,6 +102,44 @@ def test_semantic_tta_flip_consistency():
     np.testing.assert_allclose(sem[0] + sem[1], 1.0)
 
 
+def test_bench_gate_decision_file(tmp_path):
+    """bench applies hw_session's measured winner as gate DEFAULTS: explicit
+    env always wins, BENCH_IGNORE_GATES_FILE opts out, and a missing/corrupt
+    file is a no-op (flip-after-green automated; tools/hw_session.sh)."""
+    import bench
+
+    p = tmp_path / "gates.json"
+    p.write_text(json.dumps({"winner": "combo", "value": 8.2,
+                             "gates": {"STREAMED_ATTN": "1",
+                                       "MSDA_PALLAS_REDUCE": "2"}}))
+
+    env = {}
+    assert bench._load_gate_defaults(str(p), env)
+    assert env == {"STREAMED_ATTN": "1", "MSDA_PALLAS_REDUCE": "2"}
+
+    # explicit env wins over the file
+    env = {"STREAMED_ATTN": "0"}
+    assert bench._load_gate_defaults(str(p), env)
+    assert env == {"STREAMED_ATTN": "0", "MSDA_PALLAS_REDUCE": "2"}
+
+    # opt-out for decision-table rows
+    env = {"BENCH_IGNORE_GATES_FILE": "1"}
+    assert not bench._load_gate_defaults(str(p), env)
+    assert "STREAMED_ATTN" not in env
+
+    # missing or corrupt file: no-op
+    assert not bench._load_gate_defaults(str(tmp_path / "absent.json"), {})
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert not bench._load_gate_defaults(str(bad), {})
+
+    # unknown keys in the file are ignored (only real gate envs applied)
+    p.write_text(json.dumps({"gates": {"EVIL_KNOB": "1"}}))
+    env = {}
+    assert not bench._load_gate_defaults(str(p), env)
+    assert env == {}
+
+
 def test_bench_safe_mode_retry(monkeypatch):
     """bench.main() must fall back exactly once to the pure-XLA gate set
     when a GATED run fails, honor BENCH_NO_RETRY=1, and skip the retry when

@@ -1,25 +1,48 @@
 #!/bin/bash
-# One-shot hardware verification queue for the round-3 gated kernels.
+# One-shot hardware verification queue for the gated kernels.
 #
 # Run this as soon as the axon relay is reachable (probe: TCP connect to
 # 127.0.0.1:8083). It front-loads the cheap lowering/numerics smoke, then
 # benches every gate combination so a short TPU window yields a complete
-# decision table:
+# decision table, and finally writes the measured winner to
+# <repo>/.bench_gates.json — bench.py applies that file as gate DEFAULTS
+# (flip-after-green, automated: the driver's end-of-round bench picks up the
+# verified winner even if no builder session is alive to edit the in-code
+# defaults).
 #   1. tools/smoke_kernels.py       — lowering + numerics for corner_reduce
 #                                     (modes 1+2), streamed attention, fused
 #                                     Swin block, fused postprocess
-#   2. bench.py (default gates)     — headline incl. streamed cross-attn
-#   3. bench.py MSDA_PALLAS_REDUCE=2 — row-major fused corner reduce
-#   4. bench.py MSDA_PALLAS_REDUCE=1 — (Lq, P*4D) fused corner reduce
-#   5. tools/profile_stages.py      — updated per-stage breakdown at the
+#   2. bench.py rows                — all-off baseline + each gate + combo
+#   3. winner selection             — best rc=0 non-retried row
+#   4. tools/profile_stages.py      — updated per-stage breakdown at the
 #                                     winning gate set (run manually after
-#                                     picking the winner; see BASELINE.md)
+#                                     inspecting the table; see BASELINE.md)
 #
-# Results land in $LOG; flip kernel defaults + update BASELINE.md rows from
-# them, then re-run bench.py once more at the final defaults.
+# Results land in $LOG (rows also in /tmp/hw_row_*.json); after the run,
+# flip the in-code kernel defaults + update BASELINE.md rows from the table,
+# delete losing variants, and commit .bench_gates.json.
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/hw_session.log}
+ROWDIR=/tmp/hw_rows.$$
+mkdir -p "$ROWDIR"
+
+# every row sets BENCH_IGNORE_GATES_FILE=1 so a pre-existing decision file
+# can never contaminate the table, and BENCH_NO_RETRY=1 on gated rows so the
+# safe-mode retry cannot silently replace a failed gated run with a
+# gates-off number. The all-off baseline row needs neither (no gates on =>
+# no retry path).
+bench_row() { # <name> [ENV=val ...]
+  local name=$1; shift
+  echo "=== $(date -u +%FT%TZ) bench $name [$*]"
+  env BENCH_IGNORE_GATES_FILE=1 BENCH_NO_RETRY=1 "$@" \
+    timeout 3000 python bench.py > "$ROWDIR/$name.json" 2> "$ROWDIR/$name.err"
+  local rc=$?
+  cat "$ROWDIR/$name.json"
+  tail -3 "$ROWDIR/$name.err" | sed 's/^/  [stderr] /'
+  echo "bench-$name rc=$rc"
+}
+
 {
   echo "=== $(date -u +%FT%TZ) relay probe"
   python - <<'EOF' || { echo "relay unreachable — aborting (do not burn the timeouts)"; exit 1; }
@@ -29,27 +52,55 @@ s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
 EOF
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
-  # NOTE: every gate row sets BENCH_NO_RETRY=1 — bench.py's safe-mode retry
-  # would otherwise silently replace a failed gated run with a gates-off
-  # number and corrupt this decision table. Only the default row keeps the
-  # retry (that row doubles as a rehearsal of the driver-run fallback).
-  echo "=== $(date -u +%FT%TZ) bench (default gates — pure XLA after the r4 flip-after-green reset)"
-  timeout 3000 python bench.py; echo "bench-default rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench STREAMED_ATTN=1 (streamed cross-attention)"
-  BENCH_NO_RETRY=1 STREAMED_ATTN=1 timeout 3000 python bench.py; echo "bench-sattn rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=2 (row-major)"
-  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-r2 rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=1"
-  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=1 timeout 3000 python bench.py; echo "bench-r1 rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench MSDA_PALLAS_REDUCE=3 (row-major, plain XLA)"
-  BENCH_NO_RETRY=1 MSDA_PALLAS_REDUCE=3 timeout 3000 python bench.py; echo "bench-r3 rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench SWIN_FUSED_BLOCK=1 (fused Swin megakernel)"
-  BENCH_NO_RETRY=1 SWIN_FUSED_BLOCK=1 timeout 3000 python bench.py; echo "bench-swin rc=$?"
-  echo "=== $(date -u +%FT%TZ) bench MSDA_GATHER_SPLIT=2 (gather chunking)"
-  BENCH_NO_RETRY=1 MSDA_GATHER_SPLIT=2 timeout 3000 python bench.py; echo "bench-gsplit rc=$?"
-  # most-likely winner combination up front: if the window closes before a
-  # manual combined re-run, this row is the headline candidate
-  echo "=== $(date -u +%FT%TZ) bench STREAMED_ATTN=1 + MSDA_PALLAS_REDUCE=2 (combo)"
-  BENCH_NO_RETRY=1 STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2 timeout 3000 python bench.py; echo "bench-combo rc=$?"
+
+  bench_row baseline
+  bench_row sattn   STREAMED_ATTN=1
+  bench_row reduce2 MSDA_PALLAS_REDUCE=2
+  bench_row reduce1 MSDA_PALLAS_REDUCE=1
+  bench_row reduce3 MSDA_PALLAS_REDUCE=3
+  bench_row swin    SWIN_FUSED_BLOCK=1
+  bench_row gsplit2 MSDA_GATHER_SPLIT=2
+  # most-likely winner combination: if the window closes before a manual
+  # combined re-run, this row is the headline candidate
+  bench_row combo   STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2
+
+  echo "=== $(date -u +%FT%TZ) winner selection"
+  ROWDIR="$ROWDIR" python - <<'EOF'
+import json, os, glob
+
+rowdir = os.environ["ROWDIR"]
+rows = {}
+for p in sorted(glob.glob(os.path.join(rowdir, "*.json"))):
+    name = os.path.basename(p)[:-5]
+    try:
+        with open(p) as f:
+            rec = json.loads(f.read().strip().splitlines()[-1])
+    except (OSError, ValueError, IndexError):
+        print(f"row {name}: no valid JSON (failed run) — excluded")
+        continue
+    if rec.get("retried"):
+        print(f"row {name}: retried (gated run failed) — excluded")
+        continue
+    rows[name] = rec
+    print(f"row {name}: {rec['value']} img/s gates={rec.get('gates', {})}")
+if not rows:
+    print("no successful rows — not writing .bench_gates.json")
+    raise SystemExit(0)
+best = max(rows, key=lambda n: rows[n]["value"])
+rec = rows[best]
+out = {
+    "winner": best,
+    "value": rec["value"],
+    "gates": rec.get("gates", {}),
+    "table": {n: {"value": r["value"], "gates": r.get("gates", {})}
+              for n, r in rows.items()},
+}
+with open(".bench_gates.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"WINNER: {best} at {rec['value']} img/s -> .bench_gates.json "
+      f"(bench.py now defaults to gates={rec.get('gates', {})})")
+EOF
+  echo "=== $(date -u +%FT%TZ) confirmation run at the decision-file defaults"
+  timeout 3000 python bench.py; echo "bench-final rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
 } 2>&1 | tee "$LOG"
