@@ -4,22 +4,22 @@
 # Run this as soon as the axon relay is reachable (probe: TCP connect to
 # 127.0.0.1:8083). It front-loads the cheap lowering/numerics smoke, then
 # benches every gate combination so a short TPU window yields a complete
-# decision table, and finally writes the measured winner to
+# decision table. After EVERY row the running winner is (re)written to
 # <repo>/.bench_gates.json — bench.py applies that file as gate DEFAULTS
 # (flip-after-green, automated: the driver's end-of-round bench picks up the
 # verified winner even if no builder session is alive to edit the in-code
-# defaults).
+# defaults, and a mid-run relay loss still leaves the best row measured so
+# far in the file).
 #   1. tools/smoke_kernels.py       — lowering + numerics for corner_reduce
 #                                     (modes 1+2), streamed attention, fused
 #                                     Swin block, fused postprocess
-#   2. bench.py rows                — all-off baseline + each gate + combo
-#   3. winner selection             — best rc=0 non-retried row
-#   4. tools/profile_stages.py      — updated per-stage breakdown at the
+#   2. bench.py rows                — all-off baseline + each gate + combos
+#   3. tools/profile_stages.py      — updated per-stage breakdown at the
 #                                     winning gate set (run manually after
 #                                     inspecting the table; see BASELINE.md)
 #
-# Results land in $LOG (rows also in /tmp/hw_row_*.json); after the run,
-# flip the in-code kernel defaults + update BASELINE.md rows from the table,
+# Results land in $LOG (rows also in $ROWDIR/*.json); after the run, flip
+# the in-code kernel defaults + update BASELINE.md rows from the table,
 # delete losing variants, and commit .bench_gates.json.
 set -u
 cd "$(dirname "$0")/.."
@@ -27,44 +27,7 @@ LOG=${1:-/tmp/hw_session.log}
 ROWDIR=/tmp/hw_rows.$$
 mkdir -p "$ROWDIR"
 
-# every row sets BENCH_IGNORE_GATES_FILE=1 so a pre-existing decision file
-# can never contaminate the table, and BENCH_NO_RETRY=1 on gated rows so the
-# safe-mode retry cannot silently replace a failed gated run with a
-# gates-off number. The all-off baseline row needs neither (no gates on =>
-# no retry path).
-bench_row() { # <name> [ENV=val ...]
-  local name=$1; shift
-  echo "=== $(date -u +%FT%TZ) bench $name [$*]"
-  env BENCH_IGNORE_GATES_FILE=1 BENCH_NO_RETRY=1 "$@" \
-    timeout 3000 python bench.py > "$ROWDIR/$name.json" 2> "$ROWDIR/$name.err"
-  local rc=$?
-  cat "$ROWDIR/$name.json"
-  tail -3 "$ROWDIR/$name.err" | sed 's/^/  [stderr] /'
-  echo "bench-$name rc=$rc"
-}
-
-{
-  echo "=== $(date -u +%FT%TZ) relay probe"
-  python - <<'EOF' || { echo "relay unreachable — aborting (do not burn the timeouts)"; exit 1; }
-import socket
-s = socket.socket(); s.settimeout(5)
-s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
-EOF
-  echo "=== $(date -u +%FT%TZ) smoke_kernels"
-  timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
-
-  bench_row baseline
-  bench_row sattn   STREAMED_ATTN=1
-  bench_row reduce2 MSDA_PALLAS_REDUCE=2
-  bench_row reduce1 MSDA_PALLAS_REDUCE=1
-  bench_row reduce3 MSDA_PALLAS_REDUCE=3
-  bench_row swin    SWIN_FUSED_BLOCK=1
-  bench_row gsplit2 MSDA_GATHER_SPLIT=2
-  # most-likely winner combination: if the window closes before a manual
-  # combined re-run, this row is the headline candidate
-  bench_row combo   STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2
-
-  echo "=== $(date -u +%FT%TZ) winner selection"
+select_winner() { # rebuild .bench_gates.json from all rows measured so far
   ROWDIR="$ROWDIR" python - <<'EOF'
 import json, os, glob
 
@@ -95,11 +58,54 @@ out = {
     "table": {n: {"value": r["value"], "gates": r.get("gates", {})}
               for n, r in rows.items()},
 }
-with open(".bench_gates.json", "w") as f:
+tmp = ".bench_gates.json.tmp"
+with open(tmp, "w") as f:
     json.dump(out, f, indent=1)
-print(f"WINNER: {best} at {rec['value']} img/s -> .bench_gates.json "
+os.replace(tmp, ".bench_gates.json")
+print(f"WINNER so far: {best} at {rec['value']} img/s -> .bench_gates.json "
       f"(bench.py now defaults to gates={rec.get('gates', {})})")
 EOF
+}
+
+# every row sets BENCH_IGNORE_GATES_FILE=1 so the decision file being
+# updated mid-run can never contaminate the table, and BENCH_NO_RETRY=1 so
+# the safe-mode retry cannot silently replace a failed gated run with a
+# gates-off number (for the all-off baseline row both are no-ops anyway).
+bench_row() { # <name> [ENV=val ...]
+  local name=$1; shift
+  echo "=== $(date -u +%FT%TZ) bench $name [$*]"
+  env BENCH_IGNORE_GATES_FILE=1 BENCH_NO_RETRY=1 "$@" \
+    timeout 3000 python bench.py > "$ROWDIR/$name.json" 2> "$ROWDIR/$name.err"
+  local rc=$?
+  cat "$ROWDIR/$name.json"
+  tail -3 "$ROWDIR/$name.err" | sed 's/^/  [stderr] /'
+  echo "bench-$name rc=$rc"
+  select_winner
+}
+
+{
+  echo "=== $(date -u +%FT%TZ) relay probe"
+  python - <<'EOF' || { echo "relay unreachable — aborting (do not burn the timeouts)"; exit 1; }
+import socket
+s = socket.socket(); s.settimeout(5)
+s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
+EOF
+  echo "=== $(date -u +%FT%TZ) smoke_kernels"
+  timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
+
+  bench_row baseline
+  bench_row sattn   STREAMED_ATTN=1
+  bench_row reduce2 MSDA_PALLAS_REDUCE=2
+  bench_row reduce1 MSDA_PALLAS_REDUCE=1
+  bench_row reduce3 MSDA_PALLAS_REDUCE=3
+  bench_row swin    SWIN_FUSED_BLOCK=1
+  bench_row gsplit2 MSDA_GATHER_SPLIT=2
+  # combinations, most-likely winner first (each row re-selects, so a
+  # mid-run abort keeps the best-so-far in the decision file)
+  bench_row combo     STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2
+  bench_row combo_all STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2 MSDA_GATHER_SPLIT=2
+  bench_row combo_rg  MSDA_PALLAS_REDUCE=2 MSDA_GATHER_SPLIT=2
+
   echo "=== $(date -u +%FT%TZ) confirmation run at the decision-file defaults"
   timeout 3000 python bench.py; echo "bench-final rc=$?"
   echo "=== $(date -u +%FT%TZ) done"
