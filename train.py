@@ -135,6 +135,14 @@ def main():
     seg_b, seq_b = next_batches()
     with mesh:
         state = trainer.init(jax.random.PRNGKey(0), seg_b, seq_b)
+        # commit the fresh state replicated over the mesh BEFORE the first
+        # step: init returns single-device-committed arrays, and jit would
+        # otherwise specialize the first call to that layout and recompile
+        # the whole train step at iteration 1 when the mesh-committed output
+        # state comes back (one extra multi-minute compile on TPU)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         step_fn = jax.jit(trainer.train_step)
 
         storage = EventStorage()
