@@ -21,10 +21,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    print("backend:", jax.default_backend(), flush=True)
-    rng = np.random.RandomState(0)
+FAILURES = []
 
+
+def section(name):
+    """Isolate each kernel's smoke: one kernel failing to lower must not
+    mask the others' results (r4: the rows-reduce lowering error hid the
+    streamed-attention/Swin/postprocess results for the whole TPU window)."""
+    def deco(fn):
+        def run(*a, **k):
+            try:
+                fn(*a, **k)
+                print(f"[SMOKE PASS] {name}", flush=True)
+            except Exception as e:
+                FAILURES.append(name)
+                import traceback
+                traceback.print_exc()
+                print(f"[SMOKE FAIL] {name}: {type(e).__name__}: {e}", flush=True)
+        return run
+    return deco
+
+
+@section("corner_reduce")
+def smoke_corner_reduce(rng):
     # ---- corner_weighted_reduce at production MSDA shapes
     from uni_encoder_tpu.ops.corner_reduce import _mats, corner_weighted_reduce
 
@@ -44,11 +63,14 @@ def main():
     print("corner_reduce max|err| vs XLA:", err, flush=True)
     assert err < 1e-3, err
 
+
+@section("corner_reduce_rows")
+def smoke_corner_reduce_rows(rng):
     # ---- row-major variant at production shapes (P-major gather rows;
-    # strided sublane folds must lower on the real chip)
+    # the lane-merge fold must lower on the real chip)
     from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce_rows
 
-    P = 4
+    Lq, D, P = 43008, 32, 4
     g_rows = jnp.asarray(rng.randn(Lq * P, 128), jnp.bfloat16)
     w_rows = jnp.asarray(rng.rand(Lq * P, 4), jnp.float32)
     t0 = time.perf_counter()
@@ -61,6 +83,9 @@ def main():
     print("corner_reduce_rows max|err| vs numpy:", err, flush=True)
     assert err < 1e-1, err
 
+
+@section("streamed_attention")
+def smoke_streamed_attention(rng):
     # ---- streamed attention at the production class-transformer instance
     from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
 
@@ -79,6 +104,9 @@ def main():
     print("streamed_attention max|err| vs f32 XLA:", err, flush=True)
     assert err < 0.05, err
 
+
+@section("swin_fused_block")
+def smoke_swin_fused(rng):
     # ---- fused Swin block at production stage-1 and stage-3 shapes,
     # unshifted and shifted, vs the XLA SwinBlock path
     os.environ["SWIN_FUSED_BLOCK"] = "1"
@@ -104,6 +132,9 @@ def main():
               f"max|err|={err}", flush=True)
         assert err < 0.1, err
 
+
+@section("fused_postprocess")
+def smoke_fused_postprocess(rng):
     # ---- fused multi-task postprocess: lowering at production shape, then
     # pixel-map/score parity vs the unfused pipeline at a small shape
     from uni_encoder_tpu.inference.fused_postprocess import fused_multitask_inference
@@ -144,6 +175,19 @@ def main():
     np.testing.assert_allclose(fused["scores"], np.asarray(inst["scores"]),
                                atol=1e-3, rtol=1e-3)
     print("fused_postprocess parity OK", flush=True)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.RandomState(0)
+    smoke_corner_reduce(rng)
+    smoke_corner_reduce_rows(rng)
+    smoke_streamed_attention(rng)
+    smoke_swin_fused(rng)
+    smoke_fused_postprocess(rng)
+    if FAILURES:
+        print("SMOKE FAILURES:", ", ".join(FAILURES), flush=True)
+        raise SystemExit(1)
     print("SMOKE OK", flush=True)
 
 

@@ -31,8 +31,10 @@ Mosaic notes that shaped this kernel:
     constants are arithmetic in program_id so one body serves all phases;
   * DMA slices must be lane-aligned (source cols padded to 128).
 
-Per-pixel outputs: semantic argmax, panoptic winner query + winner-binary
-bit. Per-query accumulators: winner area, binary area, sigmoid-sum inside
+Per-pixel outputs (u8 — labels <= K and ids <= Q both fit, and 3x i32 maps
+overflowed the v5e AOT compiler's 16 MiB scoped-vmem output placement):
+semantic argmax, and the panoptic winner id gated by its binary bit (the
+sentinel Q marks no-winner pixels). Per-query accumulators: winner area, binary area, sigmoid-sum inside
 the binary mask, and binary-mask bounding boxes. The per-query panoptic
 bookkeeping (overlap filtering, stuff merging, id assignment) runs in XLA
 on (Q,) vectors; the final id map is a fused broadcast-compare-reduce.
@@ -60,9 +62,10 @@ def _fused_kernel(
     scores_ref,  # (2, Qp) f32 — row 0: where(drop, 0, score); row 1: where(drop, -1, 0)
     clsprob_ref,  # (Kp, Qp) f32 — softmax class probabilities (padded)
     masks_ref,  # (hp, Qp, wp) bf16 — edge-padded, (rows, Q, cols) layout
-    sem_ref,  # out block (1, 1, bh, w) i32
-    ids_ref,  # out block (1, 1, bh, w) i32
-    winbin_ref,  # out block (1, 1, bh, w) i32 (0/1 winner-binary bit)
+    sem_ref,  # out block (1, 1, bh, w) u8 — semantic argmax (labels <= K < 256)
+    ids_ref,  # out block (1, 1, bh, w) u8 — winner id where its binary bit
+    #           is set, else the sentinel q_real (matches no query downstream,
+    #           so the former separate winner-binary output is folded in here)
     win_area_ref,  # out (1, Qp) f32
     bin_area_ref,  # out (1, Qp) f32
     final_area_ref,  # out (1, Qp) f32
@@ -76,6 +79,7 @@ def _fused_kernel(
     w: int,
     Qp: int,
     Kp: int,
+    q_real: int,
 ):
     band = pl.program_id(0)
     phase = pl.program_id(1)
@@ -155,7 +159,7 @@ def _fused_kernel(
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    sem_ref[0, 0] = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
+    sem_ref[0, 0] = jnp.argmax(sem_scores, axis=1).astype(jnp.uint8)
 
     # ---- panoptic winner; dropped/padded queries get exactly -1 like the
     # unfused prob_masks (-1 ties decide the winner at all-dropped pixels,
@@ -166,12 +170,18 @@ def _fused_kernel(
     off_b = jnp.broadcast_to(scores_ref[1, :][None, :, None], (bh, Qp, w))
     prob = sig * ks_b + off_b
     ids = jnp.argmax(prob, axis=1).astype(jnp.int32)  # (bh, w)
-    ids_ref[0, 0] = ids
     ids_b = jnp.broadcast_to(ids[:, None, :], (bh, Qp, w))
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, Qp, w), 1)
     win_f = (1 - jnp.minimum(jnp.abs(ids_b - q_iota), 1)).astype(jnp.float32)
     winbin_f = win_f * bin_f
-    winbin_ref[0, 0] = jnp.max(winbin_f, axis=1).astype(jnp.int32)
+    # store the winner id only where the winner's binary bit is set; the
+    # sentinel q_real matches no query in the downstream id-map compare, so
+    # no separate winner-binary map is needed. u8 stores (ids <= Q <= 255)
+    # keep the full per-pixel outputs small enough that XLA's VMEM output
+    # placement stays under the 16 MiB scoped-vmem limit (3x i32 maps blew
+    # it on the v5e AOT compiler) and quarter the HBM write traffic.
+    wb_i = jnp.max(winbin_f, axis=1).astype(jnp.int32)  # (bh, w) 0/1
+    ids_ref[0, 0] = (ids * wb_i + q_real * (1 - wb_i)).astype(jnp.uint8)
 
     # ---- per-query accumulators
     win_area_ref[0, :] += jnp.sum(win_f, axis=(0, 2))
@@ -258,7 +268,12 @@ def fused_multitask_inference(
 
     Qp = ((Q + 7) // 8) * 8
     Kp = ((K + 7) // 8) * 8
-    bh = 16 if h % 16 == 0 else 8  # src rows per band
+    # src rows per band. 8, not 16: the kernel keeps several (bh, Qp, w) f32
+    # intermediates live at once, and Mosaic spills them to its VMEM stack —
+    # at bh=16 the frame is ~19.5 MiB, over the v5e AOT compiler's 16 MiB
+    # scoped-vmem limit (compile fails with "Ran out of memory in memory
+    # space vmem while allocating on stack"). bh=8 halves the frame.
+    bh = 8
     assert h % bh == 0, (h, bh)
     n_bands = h // bh
 
@@ -284,9 +299,8 @@ def fused_multitask_inference(
 
     grid = (n_bands, 16)
     out_shape = [
-        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # sem phases
-        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # ids phases
-        jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),  # winner-binary phases
+        jax.ShapeDtypeStruct((4, 4, h, w), jnp.uint8),  # sem phases
+        jax.ShapeDtypeStruct((4, 4, h, w), jnp.uint8),  # ids phases (Q = no winner)
         jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((1, Qp), f32),
         jax.ShapeDtypeStruct((1, Qp), f32),
@@ -298,9 +312,9 @@ def fused_multitask_inference(
     def phase_map(i, p):
         return (p // 4, p % 4, i, 0)
 
-    kern = functools.partial(_fused_kernel, bh=bh, w=w, Qp=Qp, Kp=Kp)
+    kern = functools.partial(_fused_kernel, bh=bh, w=w, Qp=Qp, Kp=Kp, q_real=Q)
     (
-        sem_ph, ids_ph, winbin_ph, win_area, bin_area, final_area, sig_sum,
+        sem_ph, ids_ph, win_area, bin_area, final_area, sig_sum,
         strict_area, box,
     ) = pl.pallas_call(
         kern,
@@ -312,7 +326,6 @@ def fused_multitask_inference(
             pl.BlockSpec(memory_space=pltpu.ANY),  # masks (DMA'd)
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bh, w), phase_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
@@ -368,14 +381,16 @@ def fused_multitask_inference(
     # maps that leave the function.
     pan_ph = jnp.sum(
         jnp.where(
-            ids_ph[None] == q_idx[:, None, None, None, None],
+            ids_ph[None].astype(jnp.int32) == q_idx[:, None, None, None, None],
             assigned[:, None, None, None, None],
             0,
         ),
         axis=0,
     )
-    panoptic_ph = (pan_ph * winbin_ph).astype(jnp.uint8)
-    sem_ph_u8 = sem_ph.astype(jnp.uint8)
+    # no-winner pixels carry the sentinel id Q, which matches no q_idx above,
+    # so they are already 0 — the former winner-binary multiply is gone
+    panoptic_ph = pan_ph.astype(jnp.uint8)
+    sem_ph_u8 = sem_ph
     if phase_layout:
         # wire layout: caller de-interleaves host-side with
         # deinterleave_phases_np (out[4k+jy, 4l+jx] = m[jy, jx, k, l])

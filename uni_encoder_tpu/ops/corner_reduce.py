@@ -134,24 +134,27 @@ corner_weighted_reduce.defvjp(_fwd, _bwd)
 #   out[q, d] = sum_{p, c} w4[q*P + p, c] * g[q*P + p, c*D + d]
 #
 # In-kernel: wrow = w4 @ E4 lane-expands the 4 corner weights (exact bf16
-# copies), prod = g * wrow, part = prod @ S4 sums corners on the MXU, and
-# the P point-rows fold with sublane-strided adds (part[i::P]).
+# copies), prod = g * wrow, then the P point-rows are folded by a row-major
+# reshape that merges each q's P consecutive rows into lanes, and ONE wider
+# MXU dot (prod2 @ S_P, where S_P stacks P copies of the corner-sum matrix)
+# sums all P*C lane-groups in fp32. The earlier sublane-strided fold
+# (part[i::P]) hit Mosaic's gather lowering rule on real hardware
+# ("Shape mismatch in input, indices and output"); this form is pure
+# reshape+dot and lowers cleanly, at identical MAC count.
 
 
 def _kernel_rows(P_const, g_ref, w_ref, e_ref, s_ref, o_ref):
-    g = g_ref[:]  # (TR, 4D)
-    w = w_ref[:].astype(g.dtype)  # (TR, 4)
+    g = g_ref[:]  # (TR, CD)
+    w = w_ref[:].astype(g.dtype)  # (TR, C)
     wrow = jax.lax.dot_general(
         w, e_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(g.dtype)
-    part = jax.lax.dot_general(
-        g * wrow, s_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TR, D)
-    acc = part[0::P_const]
-    for i in range(1, P_const):
-        acc = acc + part[i::P_const]
-    o_ref[:] = acc
+    prod = g * wrow  # (TR, CD)
+    TR, CD = prod.shape
+    o_ref[:] = jax.lax.dot_general(
+        prod.reshape(TR // P_const, P_const * CD), s_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (TR//P, D)
 
 
 def _tile_rows(rows: int, P: int) -> int:
@@ -171,6 +174,7 @@ def _pallas_reduce_rows(g, w4, P: int, D: int, interpret: bool = False):
     TR = _tile_rows(rows, P)
     assert TR, (rows, P)
     E, S = _mats(C, D)
+    S_P = np.concatenate([S] * P, axis=0)  # (P*CD, D): corner-sum per point-row
     return pl.pallas_call(
         functools.partial(_kernel_rows, P),
         grid=(rows // TR,),
@@ -179,11 +183,11 @@ def _pallas_reduce_rows(g, w4, P: int, D: int, interpret: bool = False):
             pl.BlockSpec((TR, CD), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, CD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CD, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P * CD, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TR // P, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(g, w4, jnp.asarray(E, g.dtype), jnp.asarray(S, g.dtype))
+    )(g, w4, jnp.asarray(E, g.dtype), jnp.asarray(S_P, g.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
