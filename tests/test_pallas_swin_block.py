@@ -1,6 +1,10 @@
 """Fused Swin-block megakernel (interpret mode) vs the XLA SwinBlock path:
 unshifted + shifted, with image padding (H, W not multiples of the window)
 so the valid-mask and per-window shift-mask signature machinery is covered.
+
+Tolerance: the kernel uses tanh-approximate gelu (exact gelu lowers through
+erfc, which Mosaic cannot lower on TPU); the XLA reference path uses exact
+gelu, so the comparison carries the approximation's ~3e-3 ceiling.
 """
 import jax
 import jax.numpy as jnp
@@ -25,27 +29,28 @@ def _run(shift, H=18, W=23, C=32, heads=2, monkeypatch=None):
 @pytest.mark.parametrize("shift", [0, 3])
 def test_fused_block_matches_xla(shift, monkeypatch):
     out, ref = _run(shift, monkeypatch=monkeypatch)
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out, ref, rtol=4e-3, atol=4e-3)
 
 
 def test_fused_block_window_multiple_no_pad(monkeypatch):
     # exact window multiples (no image padding), odd window count to force
     # window-count padding to the wb=8 block size
     out, ref = _run(0, H=21, W=35, monkeypatch=monkeypatch)
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out, ref, rtol=4e-3, atol=4e-3)
 
 
 def test_fused_block_shifted_bigger(monkeypatch):
     # several window rows/cols so interior/edge/corner signatures all occur
     out, ref = _run(3, H=28, W=42, monkeypatch=monkeypatch)
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out, ref, rtol=4e-3, atol=4e-3)
 
 
-def test_fused_block_wide_head_wb4(monkeypatch):
-    # heads > 6 selects the smaller wb=4 window batch (VMEM bound for the
-    # wide stages) — different signature bank and grid
+def test_fused_block_wide_heads_fall_back_to_xla(monkeypatch):
+    # heads > 6 must NOT take the fused path (wb would need to be 8 for
+    # sublane alignment, and the (H, T, T) bias tile then exceeds VMEM for
+    # the wide stages) — both runs execute the identical XLA path bitwise
     out, ref = _run(3, H=18, W=23, C=32, heads=8, monkeypatch=monkeypatch)
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_fused_block_batch2(monkeypatch):
@@ -58,4 +63,4 @@ def test_fused_block_batch2(monkeypatch):
     ref = blk.apply(v, x)
     monkeypatch.setenv("SWIN_FUSED_INTERPRET", "1")
     out = blk.apply(v, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=4e-3, atol=4e-3)

@@ -270,6 +270,13 @@ class SwinBlock(nn.Module):
             and (interpret or os.environ.get("SWIN_FUSED_BLOCK", "0") == "1")
             and self.deterministic
             and (interpret or jax.default_backend() == "tpu")
+            # stages 1-2 only (heads <= 6): the kernel needs wb = 8 (T = 8*49
+            # rows must hit Mosaic's sublane-multiple-of-8 rule, and 49 is
+            # odd), and at heads >= 12 the (H, T, T) f32 bias tile at wb = 8
+            # is 7-15 MB — over the 16 MB VMEM budget with the weights. The
+            # narrow stages have 4-16x fewer tokens and are not the
+            # HBM-traffic problem this kernel exists for; XLA keeps them.
+            and self.num_heads <= 6
         )
         if fused_ok:
             from ...ops.pallas_swin_block import swin_block_fused
@@ -282,9 +289,9 @@ class SwinBlock(nn.Module):
             N = ws * ws
             xw = window_partition(xp, ws).reshape(-1, C)  # (B*nW*N, C)
             n_win = (Hp // ws) * (Wp // ws) * B
-            # window batch per grid step: the (H, wb*N, wb*N) f32 bias tile
-            # must stay well under VMEM for the wide stages (H up to 24)
-            wb = 8 if self.num_heads <= 6 else 4
+            # window batch per grid step: 8 is the minimum that makes the
+            # (wb*N, C) row blocks sublane-aligned (49 odd -> wb % 8 == 0)
+            wb = 8
             nwp = -(-n_win // wb) * wb
             if nwp != n_win:
                 xw = jnp.pad(xw, ((0, (nwp - n_win) * N), (0, 0)))

@@ -152,7 +152,11 @@ def _kernel(sig_ref, x_ref, valid_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         y, wm1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bm1_ref[0:1]
-    hmid = jax.nn.gelu(hmid, approximate=False).astype(x_ref.dtype)
+    # tanh-approximate gelu in-kernel: exact gelu lowers through erfc, which
+    # Mosaic has no TPU lowering for (smoke-confirmed on v5e). The tanh form
+    # differs from exact by <~3e-3 relative pre-rounding — below the bf16
+    # activation noise floor of the surrounding matmuls.
+    hmid = jax.nn.gelu(hmid, approximate=True).astype(x_ref.dtype)
     out = x1 + jax.lax.dot_general(
         hmid, wm2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -189,6 +193,10 @@ def swin_block_fused(
     """
     N = window * window
     T = wb * N
+    assert T % 8 == 0, (
+        f"wb*N={T} must be sublane-aligned (multiple of 8) for the Mosaic "
+        f"(T, C) block lowering; with odd N={N} that means wb % 8 == 0"
+    )
     rows, C = xw.shape
     assert rows % T == 0, (rows, T)
     nblocks = rows // T
