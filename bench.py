@@ -41,8 +41,10 @@ import numpy as np
 
 BASELINE_IMG_PER_S = 4.0
 
-GATE_KEYS = ("STREAMED_ATTN", "MSDA_PALLAS_REDUCE", "SWIN_FUSED_BLOCK",
-             "MSDA_GATHER_SPLIT")
+# r4 hardware window removed STREAMED_ATTN / MSDA_PALLAS_REDUCE (all
+# measured losers — BASELINE.md r4 decision table); these are the gates
+# that remain genuinely undecided
+GATE_KEYS = ("SWIN_FUSED_BLOCK", "MSDA_GATHER_SPLIT")
 GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_gates.json")
 
@@ -76,17 +78,16 @@ def _load_gate_defaults(path=GATES_FILE, environ=os.environ):
 def main():
     if _load_gate_defaults():
         os.environ["BENCH_GATES_SOURCE"] = "decision_file"
-    # Safe-mode retry: if a GATED kernel (streamed cross-attention /
-    # MSDA_PALLAS_REDUCE, enabled via env) makes the full-context compile/run
-    # fail on this hardware, fall back once to the pure-XLA form so the bench
-    # always produces a number. With every gate already off (the shipped
-    # flip-after-green defaults) the retry would re-run a byte-identical
-    # configuration — skip it; it cannot succeed where the first run failed.
+    # Safe-mode retry: if a GATED kernel (enabled via env) makes the
+    # full-context compile/run fail on this hardware, fall back once to the
+    # pure-XLA form so the bench always produces a number. With every gate
+    # already off (the shipped flip-after-green defaults) the retry would
+    # re-run a byte-identical configuration — skip it; it cannot succeed
+    # where the first run failed.
     retry = False
     gates_on = (
-        os.environ.get("STREAMED_ATTN", "0") != "0"
-        or os.environ.get("MSDA_PALLAS_REDUCE", "0") != "0"
-        or os.environ.get("SWIN_FUSED_BLOCK", "0") != "0"
+        os.environ.get("SWIN_FUSED_BLOCK", "0") != "0"
+        or os.environ.get("MSDA_GATHER_SPLIT", "1") not in ("0", "1")
     )
     try:
         run()
@@ -94,15 +95,14 @@ def main():
         if os.environ.get("BENCH_NO_RETRY") == "1" or not gates_on:
             raise
         print(f"# default-gate bench failed ({type(e).__name__}: {e}); "
-              "retrying with STREAMED_ATTN=0 MSDA_PALLAS_REDUCE=0", file=sys.stderr)
+              "retrying with all gates off", file=sys.stderr)
         retry = True
     if retry:
         # retried OUTSIDE the except block: the exception's traceback would
         # otherwise pin the failed attempt's device buffers (params, images,
         # executables) and an OOM-class failure would just OOM again
-        os.environ["STREAMED_ATTN"] = "0"
-        os.environ["MSDA_PALLAS_REDUCE"] = "0"
         os.environ["SWIN_FUSED_BLOCK"] = "0"
+        os.environ["MSDA_GATHER_SPLIT"] = "1"
         run(retried=True)
 
 
@@ -230,6 +230,9 @@ def run(retried=False):
         "value": round(img_per_s, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+        # the denominator is an ESTIMATE (no A100 in this env; the reference
+        # publishes no numbers — see BASELINE.md "North star")
+        "baseline_source": "estimate_4.0_a100",
         "batch": batch,
     }
     if gates:

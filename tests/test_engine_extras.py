@@ -109,23 +109,23 @@ def test_bench_gate_decision_file(tmp_path):
     import bench
 
     p = tmp_path / "gates.json"
-    p.write_text(json.dumps({"winner": "combo", "value": 8.2,
-                             "gates": {"STREAMED_ATTN": "1",
-                                       "MSDA_PALLAS_REDUCE": "2"}}))
+    p.write_text(json.dumps({"winner": "combo_sg", "value": 8.2,
+                             "gates": {"SWIN_FUSED_BLOCK": "1",
+                                       "MSDA_GATHER_SPLIT": "2"}}))
 
     env = {}
     assert bench._load_gate_defaults(str(p), env)
-    assert env == {"STREAMED_ATTN": "1", "MSDA_PALLAS_REDUCE": "2"}
+    assert env == {"SWIN_FUSED_BLOCK": "1", "MSDA_GATHER_SPLIT": "2"}
 
     # explicit env wins over the file
-    env = {"STREAMED_ATTN": "0"}
+    env = {"SWIN_FUSED_BLOCK": "0"}
     assert bench._load_gate_defaults(str(p), env)
-    assert env == {"STREAMED_ATTN": "0", "MSDA_PALLAS_REDUCE": "2"}
+    assert env == {"SWIN_FUSED_BLOCK": "0", "MSDA_GATHER_SPLIT": "2"}
 
     # opt-out for decision-table rows
     env = {"BENCH_IGNORE_GATES_FILE": "1"}
     assert not bench._load_gate_defaults(str(p), env)
-    assert "STREAMED_ATTN" not in env
+    assert "SWIN_FUSED_BLOCK" not in env
 
     # missing or corrupt file: no-op
     assert not bench._load_gate_defaults(str(tmp_path / "absent.json"), {})
@@ -154,24 +154,24 @@ def test_bench_safe_mode_retry(monkeypatch):
     calls = []
 
     def flaky(retried=False):
-        calls.append((os.environ.get("STREAMED_ATTN"), os.environ.get("MSDA_PALLAS_REDUCE")))
+        calls.append((os.environ.get("SWIN_FUSED_BLOCK"), os.environ.get("MSDA_GATHER_SPLIT")))
         if len(calls) == 1:
             assert not retried
             raise RuntimeError("simulated lowering failure")
         assert retried  # the fallback run must self-identify in its record
 
     # a gated run retries once with the pure-XLA gate set
-    monkeypatch.setenv("STREAMED_ATTN", "1")
-    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.setenv("SWIN_FUSED_BLOCK", "1")
+    monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
     monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     monkeypatch.setattr(bench, "run", flaky)
     bench.main()
-    assert calls == [("1", None), ("0", "0")]
+    assert calls == [("1", None), ("0", "1")]
 
     # BENCH_NO_RETRY=1 suppresses the fallback even for a gated run
     calls.clear()
-    monkeypatch.setenv("STREAMED_ATTN", "1")
-    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.setenv("SWIN_FUSED_BLOCK", "1")
+    monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
     monkeypatch.setenv("BENCH_NO_RETRY", "1")
     with pytest.raises(RuntimeError):
         bench.main()
@@ -180,8 +180,8 @@ def test_bench_safe_mode_retry(monkeypatch):
     # with every gate off (the shipped flip-after-green defaults) the retry
     # would re-run an identical configuration — it must not happen
     calls.clear()
-    monkeypatch.delenv("STREAMED_ATTN", raising=False)
-    monkeypatch.delenv("MSDA_PALLAS_REDUCE", raising=False)
+    monkeypatch.delenv("SWIN_FUSED_BLOCK", raising=False)
+    monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
     monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     with pytest.raises(RuntimeError):
         bench.main()

@@ -95,30 +95,6 @@ def test_gradient_matches_reference_autograd(seed):
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=5e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["1", "2", "3"])
-def test_pallas_reduce_modes_match_default(mode, monkeypatch):
-    """Full-op parity of the gated reduce paths (Pallas modes 1/2 in
-    interpret mode on CPU; mode 3 is the plain-XLA row-major restatement):
-    exercises the op-level weight-layout construction (w16 q-major vs
-    row-major w4) that the kernel-level tests cannot."""
-    monkeypatch.setenv("MSDA_PALLAS_REDUCE", mode)
-    monkeypatch.setenv("MSDA_PALLAS_INTERPRET", "1")
-
-    rng = np.random.RandomState(7)
-    B, M, D, Lq, P = 1, 2, 32, 16, 4
-    shapes = ((4, 6), (2, 3))
-    S = sum(h * w for h, w in shapes)
-    L = len(shapes)
-    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
-    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)), jnp.float32)
-    attn = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.float32)
-
-    fused = np.asarray(ms_deform_attn(value, shapes, loc, attn))
-    monkeypatch.setenv("MSDA_PALLAS_REDUCE", "0")
-    base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
-    np.testing.assert_allclose(fused, base, atol=1e-5, rtol=1e-5)
-
-
 @pytest.mark.parametrize("nsplit", ["2", "4"])
 def test_gather_split_matches_default(nsplit, monkeypatch):
     """MSDA_GATHER_SPLIT chunks each per-head gather into n row-ranges —

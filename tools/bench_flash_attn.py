@@ -37,12 +37,6 @@ def flash_attn(q, k, v):
     return fa.flash_attention(q, k, v, sm_scale=Dh ** -0.5)
 
 
-def streamed(q, k, v):
-    from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
-
-    return streamed_cross_attention(q[0], k[0], v[0], block_k=2048)[None]
-
-
 def bench(fn, K, n=30):
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(B, H, QP, Dh), jnp.bfloat16)
@@ -64,7 +58,7 @@ def bench(fn, K, n=30):
 
 if __name__ == "__main__":
     for K in (32768, 131072):
-        for name, fn in (("xla", xla_attn), ("flash", flash_attn), ("streamed", streamed)):
+        for name, fn in (("xla", xla_attn), ("flash", flash_attn)):
             try:
                 dt = bench(fn, K)
                 print(f"K={K:6d} {name:6s}: {dt:.2f} ms")

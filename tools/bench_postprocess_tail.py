@@ -4,9 +4,9 @@ The fused kernel emits phase-separated (4, 4, h, w) i32 maps; the tail
 de-interleaves them to (H, W) with a transpose whose minor dim is 4 — a
 pathological TPU relayout shape. Variants:
 
-  full_i32   — production: 3 i32 de-interleaves + pan/winbin at full res
-  u8_first   — cast maps to u8 BEFORE de-interleave (all values < 256);
-               pan/winbin math in phase layout; 2 u8 de-interleaves
+  full       — production since e8108d2: the kernel emits TWO u8 phase
+               maps (sem winner, panoptic id; no separate winbin output),
+               de-interleaved on device to (H, W) u8
   phase_out  — no device de-interleave at all (host decodes the wire)
 
 Scan harness (tools/profile_stages.timed): ~2.9 ms/iter floor, subtract the
@@ -52,7 +52,7 @@ def main():
             o["scores"],
         )
 
-    timed("full (3x i32 deinterleave)", full, mask_cls, mask_pred)
+    timed("full (2x u8 deinterleave, production)", full, mask_cls, mask_pred)
 
     def phase_out(mc, mp):
         o = fused_multitask_inference(mc, mp, thing_mask, phase_layout=True)

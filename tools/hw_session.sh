@@ -10,9 +10,8 @@
 # verified winner even if no builder session is alive to edit the in-code
 # defaults, and a mid-run relay loss still leaves the best row measured so
 # far in the file).
-#   1. tools/smoke_kernels.py       — lowering + numerics for corner_reduce
-#                                     (modes 1+2), streamed attention, fused
-#                                     Swin block, fused postprocess
+#   1. tools/smoke_kernels.py       — lowering + numerics for the fused
+#                                     Swin block and fused postprocess
 #   2. bench.py rows                — all-off baseline + each gate + combos
 #   3. tools/profile_stages.py      — updated per-stage breakdown at the
 #                                     winning gate set (run manually after
@@ -93,18 +92,15 @@ EOF
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
 
-  bench_row baseline
-  bench_row sattn   STREAMED_ATTN=1
-  bench_row reduce2 MSDA_PALLAS_REDUCE=2
-  bench_row reduce1 MSDA_PALLAS_REDUCE=1
-  bench_row reduce3 MSDA_PALLAS_REDUCE=3
+  # UNMEASURED rows first (the r4 window died with these still queued); the
+  # r4-measured losers (STREAMED_ATTN, MSDA_PALLAS_REDUCE 1/2/3) are removed
+  # from the tree — see the r4 decision table in BASELINE.md.
   bench_row swin    SWIN_FUSED_BLOCK=1
   bench_row gsplit2 MSDA_GATHER_SPLIT=2
-  # combinations, most-likely winner first (each row re-selects, so a
-  # mid-run abort keeps the best-so-far in the decision file)
-  bench_row combo     STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2
-  bench_row combo_all STREAMED_ATTN=1 MSDA_PALLAS_REDUCE=2 MSDA_GATHER_SPLIT=2
-  bench_row combo_rg  MSDA_PALLAS_REDUCE=2 MSDA_GATHER_SPLIT=2
+  bench_row baseline
+  # combination (each row re-selects, so a mid-run abort keeps the
+  # best-so-far in the decision file)
+  bench_row combo_sg SWIN_FUSED_BLOCK=1 MSDA_GATHER_SPLIT=2
 
   echo "=== $(date -u +%FT%TZ) confirmation run at the decision-file defaults"
   timeout 3000 python bench.py; echo "bench-final rc=$?"

@@ -214,32 +214,6 @@ def gather_reduce_pure_batched(tables, lins, w16s):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
-def gather_reduce_pure_pallas(tables, lins, w16s):
-    """Variant reduction: fused Pallas corner_weighted_reduce (both 0/1 dots
-    VMEM-tile-resident; no wrow HBM materialization)."""
-    from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce
-
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-    )
-    out = jnp.zeros((B, M, Lq, D), jnp.float32)
-    for lvl in range(L):
-        lin, w16 = lins[lvl], w16s[lvl]
-        v = tables[lvl]
-        acc_heads = []
-        for i in range(B * M):
-            b, m = divmod(i, M)
-            g = jax.lax.gather(
-                v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )
-            acc_heads.append(
-                corner_weighted_reduce(g.reshape(Lq, P * 4 * D), w16[b, m], D)
-            )
-        out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
-    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
-
-
 def gather_reduce_pure_dg(tables, lins, w16cms):
     """Variant: w16 stays COMPONENT-major (B, M, P*4, Lq); the E-dot
     contracts its dim 0 via dot_general, so the (P*4, Lq) -> (Lq, P*4)
@@ -391,30 +365,7 @@ def main():
     w4s = [w.reshape(B, M, Lq * P, 4) for w in w16s]
     timed("gather+reduce PURE (rows XLA)", gather_reduce_pure_rows_xla, tables, lins, w4s)
 
-    def gather_reduce_pure_rows_pallas(tables, lins, w4s):
-        from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce_rows
-
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-        )
-        out = jnp.zeros((B, M, Lq, D), jnp.float32)
-        for lvl in range(L):
-            lin, w4 = lins[lvl], w4s[lvl]
-            v = tables[lvl]
-            acc_heads = []
-            for i in range(B * M):
-                b, m = divmod(i, M)
-                g = jax.lax.gather(
-                    v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                )
-                acc_heads.append(corner_weighted_reduce_rows(g, w4[b, m], P, D))
-            out = out + jnp.stack(acc_heads).reshape(B, M, Lq, D)
-        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
-
-    timed("gather+reduce PURE (rows pallas)", gather_reduce_pure_rows_pallas, tables, lins, w4s)
     timed("gather+reduce PURE (batched einsum)", gather_reduce_pure_batched, tables, lins, w16s)
-    timed("gather+reduce PURE (pallas fused)", gather_reduce_pure_pallas, tables, lins, w16s)
     timed("gather+reduce PURE (head pairs)", gather_reduce_headpairs, tables, lins, w16s)
     timed("gathers ONLY (prebuilt idx)", gather_only, tables, lins)
 

@@ -1,4 +1,4 @@
-"""Hardware smoke for the two round-3 Pallas kernels at production shapes:
+"""Hardware smoke for the gated Pallas kernels at production shapes:
 lowering + numerics vs their XLA restatements, on the real chip. Cheap
 (~1 min compiles) — run this before any full-graph bench after touching
 either kernel.
@@ -42,78 +42,17 @@ def section(name):
     return deco
 
 
-@section("corner_reduce")
-def smoke_corner_reduce(rng):
-    # ---- corner_weighted_reduce at production MSDA shapes
-    from uni_encoder_tpu.ops.corner_reduce import _mats, corner_weighted_reduce
-
-    Lq, K, D = 43008, 16, 32
-    g = jnp.asarray(rng.randn(Lq, K * D), jnp.bfloat16)
-    w = jnp.asarray(rng.rand(Lq, K), jnp.float32)
-    t0 = time.perf_counter()
-    out = np.asarray(corner_weighted_reduce(g, w, D))
-    print(f"corner_reduce lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
-
-    E, S = _mats(K, D)
-    wrow = jnp.dot(w.astype(g.dtype), jnp.asarray(E, g.dtype),
-                   preferred_element_type=g.dtype)
-    ref = np.asarray(jnp.dot(g * wrow, jnp.asarray(S, g.dtype),
-                             preferred_element_type=jnp.float32))
-    err = np.abs(out - ref).max()
-    print("corner_reduce max|err| vs XLA:", err, flush=True)
-    assert err < 1e-3, err
-
-
-@section("corner_reduce_rows")
-def smoke_corner_reduce_rows(rng):
-    # ---- row-major variant at production shapes (P-major gather rows;
-    # the lane-merge fold must lower on the real chip)
-    from uni_encoder_tpu.ops.corner_reduce import corner_weighted_reduce_rows
-
-    Lq, D, P = 43008, 32, 4
-    g_rows = jnp.asarray(rng.randn(Lq * P, 128), jnp.bfloat16)
-    w_rows = jnp.asarray(rng.rand(Lq * P, 4), jnp.float32)
-    t0 = time.perf_counter()
-    out_r = np.asarray(corner_weighted_reduce_rows(g_rows, w_rows, P, D))
-    print(f"corner_reduce_rows lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
-    G = np.asarray(g_rows, np.float32).reshape(Lq, P, 4, D)
-    W = np.asarray(w_rows, np.float32).reshape(Lq, P, 4)
-    ref_r = (G * W[..., None]).sum(axis=(1, 2))
-    err = np.abs(out_r - ref_r).max()
-    print("corner_reduce_rows max|err| vs numpy:", err, flush=True)
-    assert err < 1e-1, err
-
-
-@section("streamed_attention")
-def smoke_streamed_attention(rng):
-    # ---- streamed attention at the production class-transformer instance
-    from uni_encoder_tpu.ops.streamed_attention import streamed_cross_attention
-
-    H, Qp, Dh, N = 8, 152, 32, 131072
-    q = jnp.asarray(rng.randn(H, Qp, Dh), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(H, N, Dh), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(H, N, Dh), jnp.bfloat16)
-    t0 = time.perf_counter()
-    out = np.asarray(streamed_cross_attention(q, k, v), np.float32)
-    print(f"streamed_attention lowered+ran in {time.perf_counter()-t0:.1f}s", flush=True)
-
-    s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32), k.astype(jnp.float32))
-    a = jax.nn.softmax(s * (Dh ** -0.5), axis=-1)
-    ref = np.asarray(jnp.einsum("hqk,hkd->hqd", a, v.astype(jnp.float32)))
-    err = np.abs(out - ref).max()
-    print("streamed_attention max|err| vs f32 XLA:", err, flush=True)
-    assert err < 0.05, err
-
-
 @section("swin_fused_block")
 def smoke_swin_fused(rng):
-    # ---- fused Swin block at production stage-1 and stage-3 shapes,
-    # unshifted and shifted, vs the XLA SwinBlock path
+    # ---- fused Swin block at production stage-1 and stage-2 shapes,
+    # unshifted and shifted, vs the XLA SwinBlock path. Stages 3-4 (heads
+    # >= 12) route to XLA by the heads<=6 gate, so a stage-3 case here
+    # would compare XLA to itself — only gate-eligible shapes are smoked.
     os.environ["SWIN_FUSED_BLOCK"] = "1"
     from uni_encoder_tpu.models.backbones.swin import SwinBlock
 
     for (Hh, Ww, C, nh, sh) in [
-        (256, 512, 96, 3, 0), (256, 512, 96, 3, 3), (64, 128, 384, 12, 3)
+        (256, 512, 96, 3, 0), (256, 512, 96, 3, 3), (128, 256, 192, 6, 3)
     ]:
         x = jnp.asarray(rng.randn(1, Hh, Ww, C), jnp.bfloat16)
         blk = SwinBlock(dim=C, num_heads=nh, window=7, shift=sh)
@@ -180,9 +119,6 @@ def smoke_fused_postprocess(rng):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.RandomState(0)
-    smoke_corner_reduce(rng)
-    smoke_corner_reduce_rows(rng)
-    smoke_streamed_attention(rng)
     smoke_swin_fused(rng)
     smoke_fused_postprocess(rng)
     if FAILURES:

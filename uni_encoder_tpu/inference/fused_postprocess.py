@@ -176,10 +176,11 @@ def _fused_kernel(
     winbin_f = win_f * bin_f
     # store the winner id only where the winner's binary bit is set; the
     # sentinel q_real matches no query in the downstream id-map compare, so
-    # no separate winner-binary map is needed. u8 stores (ids <= Q <= 255)
-    # keep the full per-pixel outputs small enough that XLA's VMEM output
-    # placement stays under the 16 MiB scoped-vmem limit (3x i32 maps blew
-    # it on the v5e AOT compiler) and quarter the HBM write traffic.
+    # no separate winner-binary map is needed. Value range: every stored id
+    # is <= Q <= 255 (enforced by the ValueError below), so u8 is lossless.
+    # Motivation: u8 outputs keep the per-pixel maps small enough that XLA's
+    # VMEM output placement stays under the 16 MiB scoped-vmem limit (3x i32
+    # maps blew it on the v5e AOT compiler) and quarter the HBM writes.
     wb_i = jnp.max(winbin_f, axis=1).astype(jnp.int32)  # (bh, w) 0/1
     ids_ref[0, 0] = (ids * wb_i + q_real * (1 - wb_i)).astype(jnp.uint8)
 

@@ -230,7 +230,7 @@ class SwinBlock(nn.Module):
     use_pallas_attention: bool = False
     # Pallas whole-block megakernel (inference, B=1, TPU). Default OFF until
     # its lowering is verified on the real chip (SWIN_FUSED_BLOCK=1; the
-    # same flip-after-green policy as MSDA_PALLAS_REDUCE).
+    # flip-after-green policy: default off until a green end-to-end bench row).
     use_fused_block: bool = True
 
     def _drop_path(self, z):

@@ -13,7 +13,6 @@ transpose-and-rename pass:
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -48,10 +47,6 @@ class MultiheadAttention(nn.Module):
 
     embed_dim: int
     num_heads: int
-    # streamed=True enables the online-softmax Pallas kernel for huge-K
-    # unmasked cross-attention (ops/streamed_attention.py) — INFERENCE ONLY
-    # (no VJP); callers on the training path must leave it False.
-    streamed: bool = False
 
     @nn.compact
     def __call__(
@@ -79,32 +74,10 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
 
-        # STREAMED_ATTN_INTERPRET=1 runs the kernel in Pallas interpret mode
-        # off-TPU so the whole branch (pad/slice/projection) is testable on
-        # CPU (tests/test_streamed_attention.py).
-        interpret = os.environ.get("STREAMED_ATTN_INTERPRET") == "1"
-        # STREAMED_ATTN=1 opts in to the Pallas streamed-KV kernel; the
-        # default is the XLA attention form until the kernel is verified on
-        # real hardware (flip-after-green — tools/hw_session.sh measures it
-        # and flips this default once the measured win is recorded in
-        # BASELINE.md). STREAMED_ATTN=0 remains the explicit kill switch.
-        if (
-            self.streamed
-            and os.environ.get("STREAMED_ATTN", "0") == "1"
-            and attn_mask is None
-            and B == 1
-            and Lk % 2048 == 0
-            and Lk >= 16384
-            and (interpret or jax.default_backend() == "tpu")
-        ):
-            from ..ops.streamed_attention import streamed_cross_attention
-
-            Qp = ((Lq + 7) // 8) * 8
-            qp = jnp.pad(q[0], ((0, 0), (0, Qp - Lq), (0, 0)))
-            out = streamed_cross_attention(qp, k[0], v[0], interpret=interpret)
-            out = out[:, :Lq].transpose(1, 0, 2).reshape(B, Lq, E)
-            return out @ out_kernel + out_bias
-
+        # A streamed (online-softmax) Pallas kernel for the huge-K unmasked
+        # cross-attention layers was benched on the real chip in r4 and LOST
+        # end-to-end (6.399 vs 6.918 img/s despite an isolated win at
+        # K=131072 — BASELINE.md r4 decision table); removed.
         # dtype-following logits (reference AMP computes attention matmuls in
         # half precision); softmax is jax's stable (max-subtracted) form
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype)

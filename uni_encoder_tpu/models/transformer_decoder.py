@@ -43,9 +43,6 @@ class DETRDecoderLayer(nn.Module):
     d_model: int
     nheads: int
     dim_feedforward: int
-    # inference-only streamed cross-attention over the 131k-token memory
-    # (ops/streamed_attention.py) — the training path keeps the XLA form
-    streamed: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos):
@@ -53,7 +50,7 @@ class DETRDecoderLayer(nn.Module):
         tgt2 = MultiheadAttention(self.d_model, self.nheads, name="self_attn")(q, q, tgt)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + tgt2)
         tgt2 = MultiheadAttention(
-            self.d_model, self.nheads, streamed=self.streamed, name="multihead_attn"
+            self.d_model, self.nheads, name="multihead_attn"
         )(tgt + query_pos, memory + pos, memory)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + tgt2)
         tgt2 = nn.Dense(self.dim_feedforward, name="linear1")(tgt)
@@ -157,8 +154,7 @@ class OneFormerQueryDecoder(nn.Module):
         cls_query_pos = jnp.broadcast_to(query_embed[None, : Q - 1], (B, Q - 1, C))
         for i in range(self.class_dec_layers):
             tgt = DETRDecoderLayer(
-                C, self.nheads, self.dim_feedforward,
-                streamed=not self.is_train, name=f"class_dec_{i}",
+                C, self.nheads, self.dim_feedforward, name=f"class_dec_{i}",
             )(tgt, pe_mask, proj_mask, cls_query_pos)
         out_t = nn.LayerNorm(epsilon=1e-5, name="class_transformer_norm")(tgt)
 

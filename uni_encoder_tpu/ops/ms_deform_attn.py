@@ -21,9 +21,11 @@ reduction fuses. This XLA gather formulation IS the production kernel: a
 fully-fused Pallas MSDA was measured slower end-to-end (Mosaic has no
 cross-vreg gather, and Pallas custom calls are fusion barriers for the
 surrounding layers — see BASELINE.md negative results) and was removed.
-The REDUCTION step alone has two gated Pallas forms (ops/corner_reduce.py,
-MSDA_PALLAS_REDUCE=1/2) that keep the corner-weighted dots VMEM-resident;
-flip-after-green on hardware, same policy as SWIN_FUSED_BLOCK.
+Three Pallas/XLA restatements of the REDUCTION step (VMEM-resident corner
+dots; row-major variants killing the gather-output relayout) were benched on
+the real chip in round 4 and ALL LOST end-to-end (7-41% slower — the r4
+decision table in BASELINE.md); they were removed. The two-dot MXU
+reduction below is the measured winner.
 
 Shapes
 ------
@@ -44,11 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .corner_reduce import _tile as _pallas_tile
-from .corner_reduce import _tile_rows as _pallas_tile_rows
-from .corner_reduce import corner_weighted_reduce, corner_weighted_reduce_rows
-
-
+@functools.lru_cache(maxsize=None)
 def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
     """Constant 0/1 matrices that turn the corner-weighted reduction into
     two MXU matmuls over the LANE axis (measured: the lane-sliced VPU
@@ -60,15 +58,16 @@ def _reduction_mats(P: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
                       E[k, k*D + i] = 1.
       S (P*4*D, D):   sums the D-wide lane groups, S[k*D + i, i] = 1.
 
-    Shared with the fused Pallas reduction (corner_reduce._mats) so the two
-    paths stay numerically identical by construction.
-
     out(q, :) = (g(q, :) * (w16(q, :) @ E)) @ S
               = sum_{p,c} w16[q, p*4+c] * g[q, (p*4+c)*D : +D].
     """
-    from .corner_reduce import _mats
-
-    return _mats(P * 4, D)
+    K = P * 4
+    E = np.zeros((K, K * D), np.float32)
+    S = np.zeros((K * D, D), np.float32)
+    for k in range(K):
+        E[k, k * D : (k + 1) * D] = 1.0
+        S[k * D : (k + 1) * D] += np.eye(D, dtype=np.float32)
+    return E, S
 
 
 def ms_deform_attn(
@@ -131,47 +130,12 @@ def ms_deform_attn(
         )  # (B, M, L, P, Lq)
     unroll_heads = B * M <= 16
 
-    # On TPU the two-dot reduction's wrow intermediate is a dot output
-    # feeding another dot — it materializes to HBM (~44 MB per head-level
-    # at production shapes). The fused Pallas kernel keeps both dots
-    # VMEM-tile-resident (identical numerics; custom XLA VJP for
-    # training). Elsewhere (CPU tests, virtual meshes) keep the XLA form.
-    # Default OFF until the kernel's lowering is verified on the real
-    # chip (flip the default after a green hardware run; a lowering
-    # failure in the driver's bench would cost the whole headline run).
-    # NOTE: only the per-head unroll (inference, B*M <= 16) consults it;
-    # the batched training branch keeps the XLA reduction regardless.
-    # "1": (Lq, P*4D) kernel (kills the wrow HBM round trip); "2": row-major
-    # kernel consuming the gather output as produced (additionally kills the
-    # (Lq*P, 4D) -> (Lq, P*4D) cross-lane relayout, ~44 MB per head-level);
-    # "3": the row-major algebra in plain XLA (no Pallas lowering risk —
-    # kills the relayout, keeps the wrow dot output in XLA's hands).
-    _pallas_mode = os.environ.get("MSDA_PALLAS_REDUCE", "0")
     # MSDA_GATHER_SPLIT=n splits each per-head gather into n row-chunks
     # (identical slices, more independent ops for the scheduler to overlap
     # with VPU/MXU work — the isolated microbench runs at ~1.9 ns/slice vs
     # ~2.6 in the production op; this knob tests whether extra gather-level
     # parallelism closes that gap end-to-end). Default 1 = single gather.
     _gsplit = int(os.environ.get("MSDA_GATHER_SPLIT", "1"))
-    # MSDA_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode so
-    # the full op path (incl. the weight-layout construction) is testable
-    # on CPU (tests/test_ms_deform_attn.py)
-    _interp = os.environ.get("MSDA_PALLAS_INTERPRET") == "1"
-    on_tpu = jax.default_backend() == "tpu" or _interp
-    use_pallas_reduce = (
-        _pallas_mode == "1" and on_tpu and Lq % 8 == 0 and _pallas_tile(Lq)
-    )
-    use_pallas_rows = (
-        _pallas_mode == "2"
-        and on_tpu
-        and unroll_heads
-        and _pallas_tile_rows(Lq * P, P)
-    )
-    # "3": the same row-major algebra restated in plain XLA (no Pallas
-    # lowering risk): gather output consumed as produced, corner weights
-    # lane-expanded by a P=1 E-dot, corners summed by the S-dot, and the P
-    # point-rows folded with sublane-strided adds. Backend-agnostic.
-    use_rows_xla = _pallas_mode == "3" and unroll_heads
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -232,13 +196,9 @@ def ms_deform_attn(
             ],
             axis=3,
         ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
-        if use_pallas_rows or use_rows_xla:
-            # row-major weights aligned with the gather's (q*P + p) rows
-            w16 = jnp.transpose(w16, (0, 1, 4, 2, 3)).reshape(B, M, Lq * P, 4)
-        else:
-            w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+        w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
 
-        E_np, S_np = _reduction_mats(1 if use_rows_xla else P, D)
+        E_np, S_np = _reduction_mats(P, D)
         g_dtype = v.dtype
         E_m = jnp.asarray(E_np, g_dtype)
         S_m = jnp.asarray(S_np, g_dtype)
@@ -274,29 +234,9 @@ def ms_deform_attn(
                         v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                     )  # (LqP, 4D)
-                if use_pallas_rows:
-                    acc_heads.append(
-                        corner_weighted_reduce_rows(g, w16[b, m], P, D, _interp)
-                    )
-                elif use_rows_xla:
-                    wrow = jnp.dot(
-                        w16[b, m].astype(g_dtype), E_m,
-                        preferred_element_type=g_dtype,
-                    )  # (LqP, 4D)
-                    part = jnp.dot(
-                        g * wrow, S_m, preferred_element_type=jnp.float32
-                    )  # (LqP, D)
-                    acc_heads.append(sum(part[p::P] for p in range(P)))
-                elif use_pallas_reduce:
-                    acc_heads.append(
-                        corner_weighted_reduce(
-                            g.reshape(Lq, P * 4 * D), w16[b, m], D, _interp
-                        )
-                    )
-                else:
-                    acc_heads.append(
-                        reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
-                    )
+                acc_heads.append(
+                    reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
+                )
             acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
         else:
             quads = jax.vmap(
