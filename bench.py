@@ -41,15 +41,16 @@ import numpy as np
 
 BASELINE_IMG_PER_S = 4.0
 
-# r4 hardware window removed STREAMED_ATTN / MSDA_PALLAS_REDUCE (all
-# measured losers — BASELINE.md r4 decision table); these are the gates
-# that remain genuinely undecided
-GATE_KEYS = ("SWIN_FUSED_BLOCK", "MSDA_GATHER_SPLIT")
+# r4/r5 hardware windows adjudicated every gated kernel (BASELINE.md
+# decision tables): STREAMED_ATTN / MSDA_PALLAS_REDUCE / SWIN_FUSED_BLOCK
+# were measured losers and are removed from the tree; MSDA_GATHER_SPLIT=2
+# is the measured winner (7.145 vs 6.906) and the only live gate.
+GATE_KEYS = ("MSDA_GATHER_SPLIT",)
 GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_gates.json")
 
 
-def _load_gate_defaults(path=GATES_FILE, environ=os.environ):
+def _load_gate_defaults(path=None, environ=os.environ):
     """Apply the hardware-verified gate set as env DEFAULTS (explicit env
     always wins).
 
@@ -63,7 +64,7 @@ def _load_gate_defaults(path=GATES_FILE, environ=os.environ):
     if environ.get("BENCH_IGNORE_GATES_FILE") == "1":
         return False
     try:
-        with open(path) as f:
+        with open(path or GATES_FILE) as f:
             gates = json.load(f).get("gates", {})
     except (OSError, ValueError):
         return False
@@ -86,8 +87,7 @@ def main():
     # where the first run failed.
     retry = False
     gates_on = (
-        os.environ.get("SWIN_FUSED_BLOCK", "0") != "0"
-        or os.environ.get("MSDA_GATHER_SPLIT", "1") not in ("0", "1")
+        os.environ.get("MSDA_GATHER_SPLIT", "1") not in ("0", "1")
     )
     try:
         run()
@@ -101,7 +101,6 @@ def main():
         # retried OUTSIDE the except block: the exception's traceback would
         # otherwise pin the failed attempt's device buffers (params, images,
         # executables) and an OOM-class failure would just OOM again
-        os.environ["SWIN_FUSED_BLOCK"] = "0"
         os.environ["MSDA_GATHER_SPLIT"] = "1"
         run(retried=True)
 

@@ -109,23 +109,22 @@ def test_bench_gate_decision_file(tmp_path):
     import bench
 
     p = tmp_path / "gates.json"
-    p.write_text(json.dumps({"winner": "combo_sg", "value": 8.2,
-                             "gates": {"SWIN_FUSED_BLOCK": "1",
-                                       "MSDA_GATHER_SPLIT": "2"}}))
+    p.write_text(json.dumps({"winner": "gsplit2", "value": 7.145,
+                             "gates": {"MSDA_GATHER_SPLIT": "2"}}))
 
     env = {}
     assert bench._load_gate_defaults(str(p), env)
-    assert env == {"SWIN_FUSED_BLOCK": "1", "MSDA_GATHER_SPLIT": "2"}
+    assert env == {"MSDA_GATHER_SPLIT": "2"}
 
     # explicit env wins over the file
-    env = {"SWIN_FUSED_BLOCK": "0"}
-    assert bench._load_gate_defaults(str(p), env)
-    assert env == {"SWIN_FUSED_BLOCK": "0", "MSDA_GATHER_SPLIT": "2"}
+    env = {"MSDA_GATHER_SPLIT": "4"}
+    assert bench._load_gate_defaults(str(p), env) is False
+    assert env == {"MSDA_GATHER_SPLIT": "4"}
 
     # opt-out for decision-table rows
     env = {"BENCH_IGNORE_GATES_FILE": "1"}
     assert not bench._load_gate_defaults(str(p), env)
-    assert "SWIN_FUSED_BLOCK" not in env
+    assert "MSDA_GATHER_SPLIT" not in env
 
     # missing or corrupt file: no-op
     assert not bench._load_gate_defaults(str(tmp_path / "absent.json"), {})
@@ -150,37 +149,36 @@ def test_bench_safe_mode_retry(monkeypatch):
     # nothing leaks into later tests (monkeypatch can only restore vars it
     # itself set)
     monkeypatch.setattr(os, "environ", dict(os.environ))
+    # isolate from the repo's real decision file (it applies gate defaults)
+    monkeypatch.setattr(bench, "GATES_FILE", "/nonexistent/gates.json")
 
     calls = []
 
     def flaky(retried=False):
-        calls.append((os.environ.get("SWIN_FUSED_BLOCK"), os.environ.get("MSDA_GATHER_SPLIT")))
+        calls.append(os.environ.get("MSDA_GATHER_SPLIT"))
         if len(calls) == 1:
             assert not retried
             raise RuntimeError("simulated lowering failure")
         assert retried  # the fallback run must self-identify in its record
 
     # a gated run retries once with the pure-XLA gate set
-    monkeypatch.setenv("SWIN_FUSED_BLOCK", "1")
-    monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
+    monkeypatch.setenv("MSDA_GATHER_SPLIT", "2")
     monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     monkeypatch.setattr(bench, "run", flaky)
     bench.main()
-    assert calls == [("1", None), ("0", "1")]
+    assert calls == ["2", "1"]
 
     # BENCH_NO_RETRY=1 suppresses the fallback even for a gated run
     calls.clear()
-    monkeypatch.setenv("SWIN_FUSED_BLOCK", "1")
-    monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
+    monkeypatch.setenv("MSDA_GATHER_SPLIT", "2")
     monkeypatch.setenv("BENCH_NO_RETRY", "1")
     with pytest.raises(RuntimeError):
         bench.main()
     assert len(calls) == 1
 
-    # with every gate off (the shipped flip-after-green defaults) the retry
-    # would re-run an identical configuration — it must not happen
+    # with every gate off (plain single-gather MSDA) the retry would re-run
+    # an identical configuration — it must not happen
     calls.clear()
-    monkeypatch.delenv("SWIN_FUSED_BLOCK", raising=False)
     monkeypatch.delenv("MSDA_GATHER_SPLIT", raising=False)
     monkeypatch.delenv("BENCH_NO_RETRY", raising=False)
     with pytest.raises(RuntimeError):

@@ -10,9 +10,14 @@
 # verified winner even if no builder session is alive to edit the in-code
 # defaults, and a mid-run relay loss still leaves the best row measured so
 # far in the file).
-#   1. tools/smoke_kernels.py       — lowering + numerics for the fused
-#                                     Swin block and fused postprocess
-#   2. bench.py rows                — all-off baseline + each gate + combos
+#   1. bench.py rows                — all-off baseline + each gate + combos.
+#                                     Rows run FIRST: in the r5 window a
+#                                     pathological remote Mosaic compile sat
+#                                     for 25+ min before any row had landed
+#                                     (same failure shape as r4's window
+#                                     dying with rows unmeasured)
+#   2. tools/smoke_kernels.py       — lowering + numerics for the fused
+#                                     postprocess kernel
 #   3. tools/profile_stages.py      — updated per-stage breakdown at the
 #                                     winning gate set (run manually after
 #                                     inspecting the table; see BASELINE.md)
@@ -89,18 +94,17 @@ import socket
 s = socket.socket(); s.settimeout(5)
 s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
 EOF
+  # Every gated kernel now has an end-to-end verdict (r4+r5 decision tables
+  # in BASELINE.md): STREAMED_ATTN / MSDA_PALLAS_REDUCE / SWIN_FUSED_BLOCK
+  # were measured losers and are removed from the tree. The only live gate
+  # is MSDA_GATHER_SPLIT (winner=2 at 7.145 vs 6.906). Re-run the rows to
+  # re-adjudicate on new hardware or after touching the MSDA op.
+  bench_row baseline
+  bench_row gsplit2 MSDA_GATHER_SPLIT=2
+  bench_row gsplit4 MSDA_GATHER_SPLIT=4
+
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"
-
-  # UNMEASURED rows first (the r4 window died with these still queued); the
-  # r4-measured losers (STREAMED_ATTN, MSDA_PALLAS_REDUCE 1/2/3) are removed
-  # from the tree — see the r4 decision table in BASELINE.md.
-  bench_row swin    SWIN_FUSED_BLOCK=1
-  bench_row gsplit2 MSDA_GATHER_SPLIT=2
-  bench_row baseline
-  # combination (each row re-selects, so a mid-run abort keeps the
-  # best-so-far in the decision file)
-  bench_row combo_sg SWIN_FUSED_BLOCK=1 MSDA_GATHER_SPLIT=2
 
   echo "=== $(date -u +%FT%TZ) confirmation run at the decision-file defaults"
   timeout 3000 python bench.py; echo "bench-final rc=$?"

@@ -7,7 +7,9 @@ lax.scan over ITERS in-graph iterations with a carry data-dependency so the
 per-call tunnel overhead (~30 ms) amortizes away.
 
 Usage: python tools/profile_stages.py [stage ...]
-  stages: backbone, decoder, layer, msda, qdec, post, seq, all
+  stages: backbone, decoder, layer, msda, qdec, post, seq, cum2, cum3, frame, all
+  (frame = the bench's full seg+postprocess step and the whole frame_step,
+  to expose glue/scheduling cost the per-stage rows don't see)
 """
 
 import os
@@ -196,6 +198,77 @@ def main():
                     o["panoptic_seg"].astype(jnp.uint8), o["scores"])
 
         timed("postprocess FUSED (production)", post_fused, logits, masks_small)
+
+    # ---- cumulative compositions: localize WHERE the composed-graph
+    # overhead appears (r5: seg_full nets ~131 ms vs ~114 stage-sum).
+    # cum2 = backbone+pixel decoder in one graph; cum3 = + query decoder
+    # (= model.apply); frame = + fused postprocess (= bench seg_step).
+    if which & {"cum2", "all"}:
+        def bb_pd(bv, pv, x):
+            f = bb.apply(bv, x)
+            mf, _, ms = pd.apply(pv, f)
+            return mf, ms
+
+        timed("cum2 backbone+pixel decoder", bb_pd, bb_params, pd_params, img)
+
+    if which & {"cum3", "all"}:
+        timed("cum3 model.apply (bb+pd+qdec)",
+              lambda v, x, t: model.apply(v, x, t)["pred_masks"],
+              variables, img, tasks)
+
+    # cum3c: the same composition built manually from the stage modules
+    # (sanity: must match cum3). cum3b: identical except an
+    # optimization_barrier between the pixel-decoder outputs and the query
+    # decoder — tests whether the ~+11 ms qdec-join overhead (cum3 - cum2 -
+    # isolated qdec) is a cross-boundary fusion/layout pathology (barrier
+    # recovers the isolated cost) or true scheduling loss (barrier doesn't).
+    if which & {"cum3b", "cum3c"} & which or which & {"cum3b", "cum3c"}:
+        from uni_encoder_tpu.models.transformer_decoder import (
+            OneFormerQueryDecoder,
+        )
+
+        qd = OneFormerQueryDecoder()
+        qv = {"params": params["predictor"]}
+        task_emb = jnp.asarray(rng.randn(1, 256), jnp.bfloat16)
+
+        def compose(bv, pv, qvv, te, x, barrier):
+            f = bb.apply(bv, x)
+            mf, _, ms = pd.apply(pv, f)
+            if barrier:
+                mf, ms, te = jax.lax.optimization_barrier((mf, ms, te))
+            o = qd.apply(qvv, ms, mf, te)
+            return o["pred_masks"]
+
+        if "cum3c" in which:
+            timed("cum3c manual bb+pd+qdec (no barrier)",
+                  lambda bv, pv, qvv, te, x: compose(bv, pv, qvv, te, x, False),
+                  bb_params, pd_params, qv, task_emb, img)
+        if "cum3b" in which:
+            timed("cum3b manual bb+pd+BARRIER+qdec",
+                  lambda bv, pv, qvv, te, x: compose(bv, pv, qvv, te, x, True),
+                  bb_params, pd_params, qv, task_emb, img)
+
+    # ---- full bench step (seg fwd + fused postprocess), matching bench.py's
+    # seg_step: measures the glue + cross-stage scheduling the isolated rows
+    # miss (r5: stage sum ~124 ms vs 144.6 ms end-to-end)
+    if which & {"frame", "all"}:
+        from uni_encoder_tpu.data.tokenizer import tokenize_task as _tt
+        from uni_encoder_tpu.inference.fused_postprocess import (
+            fused_multitask_inference,
+        )
+
+        thing_mask = jnp.asarray(np.isin(np.arange(19), np.arange(11, 19)))
+
+        def seg_full(v, im, tk):
+            out = model.apply(v, im, tk)
+            post = fused_multitask_inference(
+                out["pred_logits"][0], out["pred_masks"][0], thing_mask,
+                object_mask_threshold=0.8, overlap_threshold=0.8, topk=150,
+            )
+            return (post["sem_seg_argmax"].astype(jnp.uint8),
+                    post["panoptic_seg"].astype(jnp.uint8), post["scores"])
+
+        timed("seg_step FULL (fwd+fused post)", seg_full, variables, img, tasks)
 
     # ---- sequence pass
     if which & {"seq", "all"}:

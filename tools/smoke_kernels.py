@@ -1,7 +1,9 @@
-"""Hardware smoke for the gated Pallas kernels at production shapes:
-lowering + numerics vs their XLA restatements, on the real chip. Cheap
-(~1 min compiles) — run this before any full-graph bench after touching
-either kernel.
+"""Hardware smoke for the fused Pallas postprocess kernel at production
+shapes: lowering + numerics vs the unfused XLA pipeline, on the real chip.
+Cheap (~1 min compile) — run this before any full-graph bench after
+touching the kernel. (The fused Swin block smoke was removed with the
+kernel itself: measured end-to-end loser, r5 decision table in
+BASELINE.md.)
 """
 
 import os
@@ -40,36 +42,6 @@ def section(name):
                 print(f"[SMOKE FAIL] {name}: {type(e).__name__}: {e}", flush=True)
         return run
     return deco
-
-
-@section("swin_fused_block")
-def smoke_swin_fused(rng):
-    # ---- fused Swin block at production stage-1 and stage-2 shapes,
-    # unshifted and shifted, vs the XLA SwinBlock path. Stages 3-4 (heads
-    # >= 12) route to XLA by the heads<=6 gate, so a stage-3 case here
-    # would compare XLA to itself — only gate-eligible shapes are smoked.
-    os.environ["SWIN_FUSED_BLOCK"] = "1"
-    from uni_encoder_tpu.models.backbones.swin import SwinBlock
-
-    for (Hh, Ww, C, nh, sh) in [
-        (256, 512, 96, 3, 0), (256, 512, 96, 3, 3), (128, 256, 192, 6, 3)
-    ]:
-        x = jnp.asarray(rng.randn(1, Hh, Ww, C), jnp.bfloat16)
-        blk = SwinBlock(dim=C, num_heads=nh, window=7, shift=sh)
-        bv = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
-        bv = jax.tree_util.tree_map(
-            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t, bv
-        )
-        t0 = time.perf_counter()
-        out = np.asarray(jax.jit(blk.apply)(bv, x), np.float32)
-        dt = time.perf_counter() - t0
-        blk2 = SwinBlock(dim=C, num_heads=nh, window=7, shift=sh,
-                         use_fused_block=False)
-        ref = np.asarray(jax.jit(blk2.apply)(bv, x), np.float32)
-        err = np.abs(out - ref).max()
-        print(f"swin_block_fused {Hh}x{Ww} c{C} shift{sh}: {dt:.1f}s "
-              f"max|err|={err}", flush=True)
-        assert err < 0.1, err
 
 
 @section("fused_postprocess")
@@ -119,7 +91,6 @@ def smoke_fused_postprocess(rng):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.RandomState(0)
-    smoke_swin_fused(rng)
     smoke_fused_postprocess(rng)
     if FAILURES:
         print("SMOKE FAILURES:", ", ".join(FAILURES), flush=True)

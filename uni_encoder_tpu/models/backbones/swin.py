@@ -63,28 +63,6 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=128)
-def _fused_valid_mask(
-    h: int, w: int, hp: int, wp: int, window: int, shift: int, nwp: int,
-    batch: int = 1,
-) -> np.ndarray:
-    """(nwp*N, 1) f32 — 1 for real image positions in window-partition row
-    order (repeated per batch image), 0 for image-pad positions and
-    window-count padding. The fused block kernel multiplies the LN1 output
-    by this so padding enters attention as exact zeros (the XLA path pads
-    AFTER LN1)."""
-    v = np.zeros((hp, wp), np.float32)
-    v[:h, :w] = 1.0
-    if shift > 0:
-        v = np.roll(v, (-shift, -shift), axis=(0, 1))
-    nh, nw = hp // window, wp // window
-    vwin = v.reshape(nh, window, nw, window).transpose(0, 2, 1, 3)
-    vwin = np.tile(vwin.reshape(-1, 1), (batch, 1))
-    out = np.zeros((nwp * window * window, 1), np.float32)
-    out[: vwin.shape[0]] = vwin
-    return out
-
-
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B*nW, window*window, C). H, W must divide by window."""
     B, H, W, C = x.shape
@@ -169,11 +147,8 @@ class WindowAttention(nn.Module):
         idx = _relative_position_index(self.window, self.window).reshape(-1)
         return self.bias_table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
 
-    def __call__(self, x: jnp.ndarray, attn_mask, fused_geom=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn_mask) -> jnp.ndarray:
         # x: (B_, N, C); attn_mask: None or (nW, N, N) additive, B_ = B*nW.
-        # fused_geom: optional (Hp, Wp, shift) — enables the fused Pallas
-        # window-attention kernel on TPU (ops/pallas_swin.py), numerically
-        # equivalent to the XLA path below.
         B_, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -184,19 +159,6 @@ class WindowAttention(nn.Module):
         rel_bias = self.rel_bias()  # H, N, N
         out_kernel = self.out_kernel
         out_bias = self.out_bias
-
-        if fused_geom is not None and jax.default_backend() == "tpu":
-            from ...ops.pallas_swin import window_attention_fused, window_mask_ids
-
-            hp, wp, shift = fused_geom
-            nW = (hp // self.window) * (wp // self.window)
-            mids = jnp.asarray(
-                np.tile(window_mask_ids(hp, wp, self.window), B_ // nW)
-            )
-            return window_attention_fused(
-                x, qkv_kernel, qkv_b, out_kernel, out_bias, rel_bias, mids,
-                self.window, H, shift,
-            )
 
         qkv = x @ qkv_kernel + qkv_b
         qkv = qkv.reshape(B_, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
@@ -227,11 +189,6 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
     deterministic: bool = True
-    use_pallas_attention: bool = False
-    # Pallas whole-block megakernel (inference, B=1, TPU). Default OFF until
-    # its lowering is verified on the real chip (SWIN_FUSED_BLOCK=1; the
-    # flip-after-green policy: default off until a green end-to-end bench row).
-    use_fused_block: bool = True
 
     def _drop_path(self, z):
         if self.deterministic or self.drop_path_rate == 0.0:
@@ -255,91 +212,6 @@ class SwinBlock(nn.Module):
         pad_r = (ws - W % ws) % ws
         Hp, Wp = H + pad_b, W + pad_r
 
-        # ---- fused whole-block Pallas path (inference): LN1 + windowed MSA
-        # + proj + residual + LN2 + MLP + residual in one VMEM-resident
-        # kernel; XLA keeps only pad/roll/partition (pure relayouts). See
-        # ops/pallas_swin_block.py for why this succeeds where the
-        # attention-only kernel lost (fusion-barrier negative result (a)).
-        # SWIN_FUSED_INTERPRET=1 exercises this branch in Pallas interpret
-        # mode off-TPU (CPU parity tests vs the XLA path)
-        interpret = os.environ.get("SWIN_FUSED_INTERPRET") == "1"
-        # inference-only: the Pallas kernel has no VJP, so training (even at
-        # drop_path_rate 0) must keep the differentiable XLA path
-        fused_ok = (
-            self.use_fused_block
-            and (interpret or os.environ.get("SWIN_FUSED_BLOCK", "0") == "1")
-            and self.deterministic
-            and (interpret or jax.default_backend() == "tpu")
-            # stages 1-2 only (heads <= 6): the kernel needs wb = 8 (T = 8*49
-            # rows must hit Mosaic's sublane-multiple-of-8 rule, and 49 is
-            # odd), and at heads >= 12 the (H, T, T) f32 bias tile at wb = 8
-            # is 7-15 MB — over the 16 MB VMEM budget with the weights. The
-            # narrow stages have 4-16x fewer tokens and are not the
-            # HBM-traffic problem this kernel exists for; XLA keeps them.
-            and self.num_heads <= 6
-        )
-        if fused_ok:
-            from ...ops.pallas_swin_block import swin_block_fused
-
-            xp = x
-            if pad_b or pad_r:
-                xp = jnp.pad(xp, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-            if self.shift > 0:
-                xp = jnp.roll(xp, shift=(-self.shift, -self.shift), axis=(1, 2))
-            N = ws * ws
-            xw = window_partition(xp, ws).reshape(-1, C)  # (B*nW*N, C)
-            n_win = (Hp // ws) * (Wp // ws) * B
-            # window batch per grid step: 8 is the minimum that makes the
-            # (wb*N, C) row blocks sublane-aligned (49 odd -> wb % 8 == 0)
-            wb = 8
-            nwp = -(-n_win // wb) * wb
-            if nwp != n_win:
-                xw = jnp.pad(xw, ((0, (nwp - n_win) * N), (0, 0)))
-
-            Dh = C // self.num_heads
-            qkv_b = (
-                attn.qkv_b if self.qkv_bias else jnp.zeros((3 * C,), x.dtype)
-            )
-            params = {
-                # (C, 3C) column order is [q | k | v], heads minor within each
-                "wqkv": attn.qkv_kernel.reshape(C, 3, self.num_heads, Dh)
-                .transpose(1, 2, 0, 3),
-                "bqkv": qkv_b.reshape(3, self.num_heads, 1, Dh),
-                "wproj": attn.out_kernel.reshape(self.num_heads, Dh, C),
-                "bproj": attn.out_bias.reshape(1, C),
-                "ln1": jnp.stack([norm1.scale, norm1.bias]),
-                "ln2": jnp.stack([norm2.scale, norm2.bias]),
-                "wm1": fc1.kernel,
-                "bm1": fc1.bias.reshape(1, hidden),
-                "wm2": fc2.kernel,
-                "bm2": fc2.bias.reshape(1, C),
-            }
-            params = {k: v.astype(x.dtype) for k, v in params.items()}
-            valid = jnp.asarray(
-                _fused_valid_mask(H, W, Hp, Wp, ws, self.shift, nwp, B)
-            )
-            out = swin_block_fused(
-                xw,
-                params,
-                attn.rel_bias().astype(jnp.float32),
-                valid=jnp.asarray(valid),
-                window=ws,
-                heads=self.num_heads,
-                hp=Hp,
-                wp=Wp,
-                shift=self.shift,
-                wb=wb,
-                batch=B,
-                interpret=interpret,
-            )
-            out = out[: n_win * N].reshape(n_win, N, C)
-            xo = window_reverse(out, ws, Hp, Wp)
-            if self.shift > 0:
-                xo = jnp.roll(xo, shift=(self.shift, self.shift), axis=(1, 2))
-            if pad_b or pad_r:
-                xo = xo[:, :H, :W]
-            return xo
-
         shortcut = x
         x = norm1(x)
 
@@ -353,16 +225,15 @@ class SwinBlock(nn.Module):
             mask = None
 
         xw = window_partition(x, ws)
-        # NOTE: the fused Pallas window-attention kernel (ops/pallas_swin.py)
-        # wins in isolation (e.g. 6.3 -> 3.9 ms at stage-1 1024x2048 shapes)
-        # but loses ~10 ms end-to-end because the custom call is a fusion
-        # barrier for the surrounding LN/pad/roll/partition chain — XLA's
-        # cross-op fusion beats the kernel here. Kept available via
-        # use_pallas_attention for future Mosaic revisions.
-        xw = attn(
-            xw, mask,
-            fused_geom=(Hp, Wp, self.shift) if self.use_pallas_attention else None,
-        )
+        # NOTE: three generations of fused Pallas Swin kernels (attention-only
+        # r2; whole-block megakernel r4-r5) each won in isolation but LOST
+        # end-to-end on the real chip (whole-block: 6.217 vs 6.906 img/s at
+        # 1024x2048, r5 decision table) — a Pallas custom call is a fusion
+        # and scheduling barrier for the surrounding pad/roll/partition
+        # chain, and XLA's cross-op fusion beats the kernels in context.
+        # All were deleted per the flip-after-green policy; measurements and
+        # post-mortems live in BASELINE.md.
+        xw = attn(xw, mask)
         x = window_reverse(xw, ws, Hp, Wp)
 
         if self.shift > 0:
@@ -412,7 +283,6 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     drop_path_rate: float = 0.0  # linspace schedule over all blocks (train)
     deterministic: bool = True
-    use_pallas_attention: bool = False
 
     @property
     def out_channels(self):
@@ -446,7 +316,6 @@ class SwinTransformer(nn.Module):
                     qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dpr[blk]),
                     deterministic=self.deterministic,
-                    use_pallas_attention=self.use_pallas_attention,
                     name=f"layers_{i}_blocks_{j}",
                 )(x)
                 blk += 1

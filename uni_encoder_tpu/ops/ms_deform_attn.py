@@ -219,24 +219,33 @@ def ms_deform_attn(
             acc_heads = []
             for i in range(B * M):
                 b, m = divmod(i, M)
-                if _gsplit > 1 and (Lq * P) % _gsplit == 0:
-                    c = Lq * P // _gsplit
-                    g = jnp.concatenate([
-                        jax.lax.gather(
-                            v[i], lin[i, s * c : (s + 1) * c][:, None], dnums,
-                            slice_sizes=(1, 4 * D),
-                            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                if _gsplit > 1 and Lq % _gsplit == 0:
+                    # query-granular chunks: each chunk's gather feeds its own
+                    # reduction (identical slices/rows to the single gather),
+                    # so only the (Lq/n, D) outputs are concatenated — not the
+                    # 32x larger raw gather chunks — while the scheduler gets
+                    # n independent gather ops to overlap with VPU/MXU work
+                    cq = Lq // _gsplit
+                    c = cq * P
+                    acc_heads.append(jnp.concatenate([
+                        reduce_rows(
+                            jax.lax.gather(
+                                v[i], lin[i, s * c : (s + 1) * c][:, None],
+                                dnums, slice_sizes=(1, 4 * D),
+                                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                            ).reshape(cq, P * 4 * D),
+                            w16[b, m, s * cq : (s + 1) * cq],
                         )
                         for s in range(_gsplit)
-                    ])  # (LqP, 4D), identical rows to the single gather
+                    ]))
                 else:
                     g = jax.lax.gather(
                         v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                     )  # (LqP, 4D)
-                acc_heads.append(
-                    reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
-                )
+                    acc_heads.append(
+                        reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
+                    )
             acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
         else:
             quads = jax.vmap(
