@@ -180,19 +180,38 @@ def run(retried=False):
                 post["scores"],
             )
 
-        return jax.lax.map(post_one, (out["pred_logits"], out["pred_masks"]))
+        # static unroll over the (small, static) batch: lax.map is a
+        # length-B scan whose operand materialization blocks fusion between
+        # the decoder's mask einsums and the postprocess prologue — at
+        # batch 1 the profile's direct composition measures faster than the
+        # scanned one for the same math. BENCH_POST_SCAN=1 restores lax.map
+        # (A/B toggle).
+        if os.environ.get("BENCH_POST_SCAN") == "1":
+            return jax.lax.map(post_one, (out["pred_logits"], out["pred_masks"]))
+        outs = [post_one((out["pred_logits"][b], out["pred_masks"][b]))
+                for b in range(out["pred_logits"].shape[0])]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
     @jax.jit
     def dep_step(variables, images, prev):
         out = model.apply(variables, images, prev, method=UniEncoder.forward_sequence)
         return out["disp"], out["motion_mask"], out["complete_flow"], out["cam_T_cam"]
 
-    @jax.jit
+    # DEFAULT (hardware-adjudicated, r5 matrix in BASELINE.md): seg and
+    # sequence dispatched as two programs per frame. The r3 composed
+    # single-jit frame step INVERTED once the forward went fully bf16 —
+    # the composed XLA program schedules the bf16 decoder/mask chain
+    # ~20 ms worse than the two programs back-to-back, and the real
+    # per-dispatch cost is only ~1.9 ms (tools/bench_dispatch.py).
+    # Measured: split 7.710 vs composed 6.784 img/s at identical math.
+    # BENCH_COMPOSED_FRAME=1 restores the composed step (A/B toggle).
     def frame_step(variables, images, tasks, dep_images, prev):
-        # one dispatch per frame: the multi-task serving protocol runs the
-        # seg pass and the sequence pass for every frame anyway; a single
-        # jit halves the per-dispatch tunnel/runtime overhead
         return seg_step(variables, images, tasks), dep_step(variables, dep_images, prev)
+
+    if os.environ.get("BENCH_COMPOSED_FRAME") == "1":
+        @jax.jit
+        def frame_step(variables, images, tasks, dep_images, prev):  # noqa: F811
+            return seg_step(variables, images, tasks), dep_step(variables, dep_images, prev)
 
     # compile + sanity
     r0 = jax.tree_util.tree_map(np.asarray, seg_step(variables, seg_img, tasks))

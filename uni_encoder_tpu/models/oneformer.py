@@ -19,6 +19,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -162,6 +163,15 @@ class UniEncoder(nn.Module):
     def forward_segmentation(self, images: jnp.ndarray, task_tokens: jnp.ndarray) -> Dict:
         """images: (B, H, W, 3) normalized; task_tokens: (B, task_seq_len) int."""
         task = self.task_mlp(task_tokens.astype(jnp.float32))
+        # dtype-following (matches the reference's AMP autocast region, which
+        # runs the task MLP and decoder at the compute dtype): the raw-token
+        # f32 input would otherwise promote the embedding to f32 and poison
+        # the WHOLE query-decoder chain — every attention/FFN layer and the
+        # (Q, H/4*W/4) mask einsums run f32 instead of bf16. Measured on the
+        # real chip (r5): model.apply 129.7 ms vs 116.5 ms for the identical
+        # graph with a bf16 task embedding.
+        if os.environ.get("TASK_EMB_F32") != "1":  # A/B toggle, remove after hw verdict
+            task = task.astype(images.dtype)
         features = self.backbone(images)
         mask_features, _, multi_scale = self.pixel_decoder(features)
         out = self.predictor(multi_scale, mask_features, task)

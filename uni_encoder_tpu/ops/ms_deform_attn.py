@@ -136,6 +136,12 @@ def ms_deform_attn(
     # ~2.6 in the production op; this knob tests whether extra gather-level
     # parallelism closes that gap end-to-end). Default 1 = single gather.
     _gsplit = int(os.environ.get("MSDA_GATHER_SPLIT", "1"))
+    # MSDA_LOC_PER_HEAD=1 computes each head's index/weight math inside the
+    # per-head loop instead of one batched block before all gathers — the
+    # ~2 ms/layer of loc math is the only VPU work with no data dependence
+    # on the gathers, so emitting it per head lets the scheduler overlap
+    # head i+1's loc math with head i's (scalar-unit-bound) gathers.
+    _loc_ph = os.environ.get("MSDA_LOC_PER_HEAD") == "1"
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -164,39 +170,86 @@ def ms_deform_attn(
         start += HW
 
         loc = sampling_locations[:, :, lvl]  # (B, M, P, 2, Lq)
-        if layout == "cm_abs":
-            fx = loc[:, :, :, 0]  # (B, M, P, Lq) — Lq on lanes
-            fy = loc[:, :, :, 1]
-        else:
-            fx = loc[:, :, :, 0] * W - 0.5
-            fy = loc[:, :, :, 1] * H - 0.5
-        x0 = jnp.floor(fx)
-        y0 = jnp.floor(fy)
-        wxb = fx - x0  # (B, M, P, Lq)
-        wyb = fy - y0
-        # patches fully outside the map contribute nothing
-        inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
-        wlb = attention_weights[:, :, lvl] * inside  # (B, M, P, Lq)
+        _loc_ph_active = _loc_ph and unroll_heads
+        if not _loc_ph_active:
+            if layout == "cm_abs":
+                fx = loc[:, :, :, 0]  # (B, M, P, Lq) — Lq on lanes
+                fy = loc[:, :, :, 1]
+            else:
+                fx = loc[:, :, :, 0] * W - 0.5
+                fy = loc[:, :, :, 1] * H - 0.5
+            x0 = jnp.floor(fx)
+            y0 = jnp.floor(fy)
+            wxb = fx - x0  # (B, M, P, Lq)
+            wyb = fy - y0
+            # patches fully outside the map contribute nothing
+            inside = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+            wlb = attention_weights[:, :, lvl] * inside  # (B, M, P, Lq)
 
-        ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
-        iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
-        # gather wants q-major (Lq*P) index rows: one int relayout per level
-        lin = (iy * (W + 1) + ix)  # (B, M, P, Lq)
-        lin = jnp.transpose(lin, (0, 1, 3, 2)).reshape(B * M, Lq * P)
-        # per-(point, corner) weights in gather-channel order
-        # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight; built
-        # component-major as (B, M, P, 4, Lq) then relayed out once to the
-        # (B, M, Lq, P*4) rows the MXU reduction consumes (k = p*4 + c)
-        w16 = jnp.stack(
-            [
-                (1 - wyb) * (1 - wxb),
-                (1 - wyb) * wxb,
-                wyb * (1 - wxb),
-                wyb * wxb,
-            ],
-            axis=3,
-        ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
-        w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+            ix = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+            iy = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+            # gather wants q-major (Lq*P) index rows: one int relayout/level
+            lin = (iy * (W + 1) + ix)  # (B, M, P, Lq)
+            lin = jnp.transpose(lin, (0, 1, 3, 2)).reshape(B * M, Lq * P)
+            # per-(point, corner) weights in gather-channel order
+            # [y0x0, y0x1, y1x0, y1x1], folded with the attention weight;
+            # built component-major as (B, M, P, 4, Lq) then relayed out once
+            # to the (B, M, Lq, P*4) rows the MXU reduction consumes
+            # (k = p*4 + c)
+            w16 = jnp.stack(
+                [
+                    (1 - wyb) * (1 - wxb),
+                    (1 - wyb) * wxb,
+                    wyb * (1 - wxb),
+                    wyb * wxb,
+                ],
+                axis=3,
+            ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
+            w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+
+        def loc_head(i):
+            # per-head loc math (same algebra as the batched block above,
+            # leading (B, M) axes sliced away): (Lq*P,) indices + (Lq, P*4)
+            # reduction-order weights for head i
+            b, m = divmod(i, M)
+            if layout == "cm_abs":
+                fxh = loc[b, m, :, 0]  # (P, Lq)
+                fyh = loc[b, m, :, 1]
+            else:
+                fxh = loc[b, m, :, 0] * W - 0.5
+                fyh = loc[b, m, :, 1] * H - 0.5
+            x0h = jnp.floor(fxh)
+            y0h = jnp.floor(fyh)
+            wxh = fxh - x0h
+            wyh = fyh - y0h
+            insh = (x0h >= -1) & (x0h <= W - 1) & (y0h >= -1) & (y0h <= H - 1)
+            wlh = attention_weights[b, m, lvl] * insh  # (P, Lq)
+            ixh = (jnp.clip(x0h, -1, W - 1) + 1).astype(jnp.int32)
+            iyh = (jnp.clip(y0h, -1, H - 1) + 1).astype(jnp.int32)
+            linh = jnp.swapaxes(iyh * (W + 1) + ixh, 0, 1).reshape(Lq * P)
+            w16h = jnp.stack(
+                [
+                    (1 - wyh) * (1 - wxh),
+                    (1 - wyh) * wxh,
+                    wyh * (1 - wxh),
+                    wyh * wxh,
+                ],
+                axis=1,
+            ) * wlh[:, None]  # (P, 4, Lq)
+            w16h = jnp.swapaxes(w16h.reshape(P * 4, Lq), 0, 1)
+            return linh, w16h
+
+        _ph_cache = {}
+
+        def head_lw(i):
+            # (indices, weights) for head i: per-head math when the loc
+            # overlap knob is on, slices of the batched block otherwise
+            if _loc_ph_active:
+                if i not in _ph_cache:
+                    _ph_cache[i] = loc_head(i)
+                return _ph_cache[i]
+            b, m = divmod(i, M)
+            return lin[i], w16[b, m]
 
         E_np, S_np = _reduction_mats(P, D)
         g_dtype = v.dtype
@@ -216,35 +269,44 @@ def ms_deform_attn(
             # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
             # production shapes -> VMEM-staged by XLA; the MXU reduction
             # consumes the (Lq, P*4D) gather output in place.
-            acc_heads = []
-            for i in range(B * M):
-                b, m = divmod(i, M)
-                if _gsplit > 1 and Lq % _gsplit == 0:
-                    # query-granular chunks: each chunk's gather feeds its own
-                    # reduction (identical slices/rows to the single gather),
-                    # so only the (Lq/n, D) outputs are concatenated — not the
-                    # 32x larger raw gather chunks — while the scheduler gets
-                    # n independent gather ops to overlap with VPU/MXU work
-                    cq = Lq // _gsplit
-                    c = cq * P
-                    acc_heads.append(jnp.concatenate([
-                        reduce_rows(
-                            jax.lax.gather(
-                                v[i], lin[i, s * c : (s + 1) * c][:, None],
-                                dnums, slice_sizes=(1, 4 * D),
-                                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                            ).reshape(cq, P * 4 * D),
-                            w16[b, m, s * cq : (s + 1) * cq],
-                        )
-                        for s in range(_gsplit)
-                    ]))
-                else:
+            if _gsplit > 1 and Lq % _gsplit == 0:
+                # query-granular chunks: each chunk's gather feeds its own
+                # reduction (identical slices/rows to the single gather),
+                # so only the (Lq/n, D) outputs are concatenated — not the
+                # 32x larger raw gather chunks — while the scheduler gets
+                # n independent gather ops to overlap with VPU/MXU work
+                cq = Lq // _gsplit
+                c = cq * P
+
+                def chunk(i, s):
+                    lin_i, w16_i = head_lw(i)
+                    return reduce_rows(
+                        jax.lax.gather(
+                            v[i], lin_i[s * c : (s + 1) * c][:, None],
+                            dnums, slice_sizes=(1, 4 * D),
+                            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                        ).reshape(cq, P * 4 * D),
+                        w16_i[s * cq : (s + 1) * cq],
+                    )
+
+                # emission order is NOT a lever: interleaving chunk s of
+                # every head before chunk s+1 measured exactly neutral
+                # (7.701 vs 7.700 img/s, r5) — XLA's latency-hiding
+                # scheduler reorders the independent chains itself
+                acc_heads = [
+                    jnp.concatenate([chunk(i, s) for s in range(_gsplit)])
+                    for i in range(B * M)
+                ]
+            else:
+                acc_heads = []
+                for i in range(B * M):
+                    lin_i, w16_i = head_lw(i)
                     g = jax.lax.gather(
-                        v[i], lin[i][:, None], dnums, slice_sizes=(1, 4 * D),
+                        v[i], lin_i[:, None], dnums, slice_sizes=(1, 4 * D),
                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                     )  # (LqP, 4D)
                     acc_heads.append(
-                        reduce_rows(g.reshape(Lq, P * 4 * D), w16[b, m])
+                        reduce_rows(g.reshape(Lq, P * 4 * D), w16_i)
                     )
             acc = jnp.stack(acc_heads).reshape(B, M, Lq, D)
         else:
