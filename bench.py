@@ -44,8 +44,10 @@ BASELINE_IMG_PER_S = 4.0
 # r4/r5 hardware windows adjudicated every gated kernel (BASELINE.md
 # decision tables): STREAMED_ATTN / MSDA_PALLAS_REDUCE / SWIN_FUSED_BLOCK
 # were measured losers and are removed from the tree; MSDA_GATHER_SPLIT=2
-# is the measured winner (7.145 vs 6.906) and the only live gate.
-GATE_KEYS = ("MSDA_GATHER_SPLIT",)
+# is a measured winner (7.145 vs 6.906). MSDA_LOC_PER_HEAD /
+# MSDA_TABLE_PER_HEAD move per-head index math / table builds inside the
+# head loop so they overlap the previous head's gathers (r5 matrix 3).
+GATE_KEYS = ("MSDA_GATHER_SPLIT", "MSDA_LOC_PER_HEAD", "MSDA_TABLE_PER_HEAD")
 GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_gates.json")
 
@@ -88,6 +90,8 @@ def main():
     retry = False
     gates_on = (
         os.environ.get("MSDA_GATHER_SPLIT", "1") not in ("0", "1")
+        or os.environ.get("MSDA_LOC_PER_HEAD") == "1"
+        or os.environ.get("MSDA_TABLE_PER_HEAD") == "1"
     )
     try:
         run()
@@ -102,6 +106,8 @@ def main():
         # otherwise pin the failed attempt's device buffers (params, images,
         # executables) and an OOM-class failure would just OOM again
         os.environ["MSDA_GATHER_SPLIT"] = "1"
+        os.environ["MSDA_LOC_PER_HEAD"] = "0"
+        os.environ["MSDA_TABLE_PER_HEAD"] = "0"
         run(retried=True)
 
 

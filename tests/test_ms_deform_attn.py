@@ -113,3 +113,40 @@ def test_gather_split_matches_default(nsplit, monkeypatch):
     monkeypatch.setenv("MSDA_GATHER_SPLIT", "1")
     base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
     np.testing.assert_array_equal(split, base)
+
+
+@pytest.mark.parametrize(
+    "gates",
+    [
+        {"MSDA_LOC_PER_HEAD": "1"},
+        {"MSDA_TABLE_PER_HEAD": "1"},
+        {"MSDA_LOC_PER_HEAD": "1", "MSDA_TABLE_PER_HEAD": "1"},
+        {
+            "MSDA_GATHER_SPLIT": "2",
+            "MSDA_LOC_PER_HEAD": "1",
+            "MSDA_TABLE_PER_HEAD": "1",
+        },  # the shipped r5 winner combo (.bench_gates.json locph_tbl)
+    ],
+    ids=["locph", "tblph", "locph_tbl", "winner"],
+)
+def test_per_head_producers_match_default(gates, monkeypatch):
+    """MSDA_LOC_PER_HEAD / MSDA_TABLE_PER_HEAD re-emit the index math and
+    packed corner tables per head (scheduling overlap, BASELINE.md r5
+    matrix 3) — same slices, same arithmetic, must be bit-identical to the
+    batched producers."""
+    for k, v in gates.items():
+        monkeypatch.setenv(k, v)
+    rng = np.random.RandomState(13)
+    B, M, D, Lq, P = 1, 2, 32, 16, 4
+    shapes = ((4, 6), (2, 3))
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)), jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.float32)
+
+    gated = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    for k in ("MSDA_GATHER_SPLIT", "MSDA_LOC_PER_HEAD", "MSDA_TABLE_PER_HEAD"):
+        monkeypatch.delenv(k, raising=False)
+    base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    np.testing.assert_array_equal(gated, base)

@@ -96,12 +96,14 @@ s.connect(("127.0.0.1", 8083)); print("relay :8083 reachable")
 EOF
   # Every gated kernel now has an end-to-end verdict (r4+r5 decision tables
   # in BASELINE.md): STREAMED_ATTN / MSDA_PALLAS_REDUCE / SWIN_FUSED_BLOCK
-  # were measured losers and are removed from the tree. The only live gate
-  # is MSDA_GATHER_SPLIT (winner=2 at 7.145 vs 6.906). Re-run the rows to
+  # were measured losers and are removed from the tree. Live gates:
+  # MSDA_GATHER_SPLIT (winner=2), MSDA_LOC_PER_HEAD and MSDA_TABLE_PER_HEAD
+  # (per-head scheduling overlap, r5 matrix 3). Re-run the rows to
   # re-adjudicate on new hardware or after touching the MSDA op.
   bench_row baseline
   bench_row gsplit2 MSDA_GATHER_SPLIT=2
-  bench_row gsplit4 MSDA_GATHER_SPLIT=4
+  bench_row locph MSDA_GATHER_SPLIT=2 MSDA_LOC_PER_HEAD=1
+  bench_row locph_tbl MSDA_GATHER_SPLIT=2 MSDA_LOC_PER_HEAD=1 MSDA_TABLE_PER_HEAD=1
 
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"

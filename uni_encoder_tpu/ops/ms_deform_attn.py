@@ -142,6 +142,11 @@ def ms_deform_attn(
     # on the gathers, so emitting it per head lets the scheduler overlap
     # head i+1's loc math with head i's (scalar-unit-bound) gathers.
     _loc_ph = os.environ.get("MSDA_LOC_PER_HEAD") == "1"
+    # MSDA_TABLE_PER_HEAD=1 builds each head's packed corner table inside
+    # the per-head loop (8 small pad+concat chains instead of one batched
+    # one per level): gather i then waits only on build i, and build i+1
+    # can overlap gather i — targets the ~0.8 ms/layer of exposed build.
+    _tbl_ph = os.environ.get("MSDA_TABLE_PER_HEAD") == "1"
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -153,21 +158,43 @@ def ms_deform_attn(
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         HW = H * W
-        v = value_hm[:, :, start : start + HW].reshape(B * M, H, W, D)
-        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        # ONE 4-operand concat (measured 2.85 vs 4.87 ms/layer for the
-        # two-stage x-pairs/y-pairs concat). NOTE (r3, profile_msda_parts):
-        # in the full op the table build overlaps the scalar-unit-bound
-        # gathers almost completely (full op 16.93 ms/layer vs 16.14 with
-        # prebuilt tables) — build variants (im2col patches, flat-stride,
-        # Pallas DMA packer) cannot win more than ~0.8 ms/layer and all
-        # measured neutral-to-worse in context; see BASELINE.md.
-        v = jnp.concatenate(
-            [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
-            axis=-1,
-        )
-        v = v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+        s0 = start
         start += HW
+        _tbl_ph_active = _tbl_ph and unroll_heads
+        if not _tbl_ph_active:
+            v = value_hm[:, :, s0 : s0 + HW].reshape(B * M, H, W, D)
+            vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            # ONE 4-operand concat (measured 2.85 vs 4.87 ms/layer for the
+            # two-stage x-pairs/y-pairs concat). NOTE (r3, profile_msda_parts):
+            # in the full op the table build overlaps the scalar-unit-bound
+            # gathers almost completely (full op 16.93 ms/layer vs 16.14 with
+            # prebuilt tables) — build variants (im2col patches, flat-stride,
+            # Pallas DMA packer) cannot win more than ~0.8 ms/layer and all
+            # measured neutral-to-worse in context; see BASELINE.md.
+            v = jnp.concatenate(
+                [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+                axis=-1,
+            )
+            v = v.reshape(B * M, (H + 1) * (W + 1), 4 * D)
+
+        _tb_cache = {}
+
+        def head_table(i):
+            # packed corner table for head i: a slice of the batched build,
+            # or (table-per-head knob) its own pad+concat chain so the
+            # scheduler can overlap it with the previous head's gathers
+            if not _tbl_ph_active:
+                return v[i]
+            if i not in _tb_cache:
+                b, m = divmod(i, M)
+                vi = value_hm[b, m, s0 : s0 + HW].reshape(H, W, D)
+                vip = jnp.pad(vi, ((1, 1), (1, 1), (0, 0)))
+                vi4 = jnp.concatenate(
+                    [vip[:-1, :-1], vip[:-1, 1:], vip[1:, :-1], vip[1:, 1:]],
+                    axis=-1,
+                )
+                _tb_cache[i] = vi4.reshape((H + 1) * (W + 1), 4 * D)
+            return _tb_cache[i]
 
         loc = sampling_locations[:, :, lvl]  # (B, M, P, 2, Lq)
         _loc_ph_active = _loc_ph and unroll_heads
@@ -252,7 +279,7 @@ def ms_deform_attn(
             return lin[i], w16[b, m]
 
         E_np, S_np = _reduction_mats(P, D)
-        g_dtype = v.dtype
+        g_dtype = value_hm.dtype
         E_m = jnp.asarray(E_np, g_dtype)
         S_m = jnp.asarray(S_np, g_dtype)
 
@@ -282,7 +309,7 @@ def ms_deform_attn(
                     lin_i, w16_i = head_lw(i)
                     return reduce_rows(
                         jax.lax.gather(
-                            v[i], lin_i[s * c : (s + 1) * c][:, None],
+                            head_table(i), lin_i[s * c : (s + 1) * c][:, None],
                             dnums, slice_sizes=(1, 4 * D),
                             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                         ).reshape(cq, P * 4 * D),
@@ -302,7 +329,8 @@ def ms_deform_attn(
                 for i in range(B * M):
                     lin_i, w16_i = head_lw(i)
                     g = jax.lax.gather(
-                        v[i], lin_i[:, None], dnums, slice_sizes=(1, 4 * D),
+                        head_table(i), lin_i[:, None], dnums,
+                        slice_sizes=(1, 4 * D),
                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                     )  # (LqP, 4D)
                     acc_heads.append(
