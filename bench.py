@@ -47,7 +47,12 @@ BASELINE_IMG_PER_S = 4.0
 # is a measured winner (7.145 vs 6.906). MSDA_LOC_PER_HEAD /
 # MSDA_TABLE_PER_HEAD move per-head index math / table builds inside the
 # head loop so they overlap the previous head's gathers (r5 matrix 3).
-GATE_KEYS = ("MSDA_GATHER_SPLIT", "MSDA_LOC_PER_HEAD", "MSDA_TABLE_PER_HEAD")
+# MSDA_PMAJOR gathers point-major — the q-major index interleave relayout
+# disappears and each head-level becomes P independent gather->reduce
+# chains (r5 matrix 4: 9.04 vs 8.19). MSDA_W16_DG keeps corner weights
+# component-major through a dot_general (measured neutral end-to-end).
+GATE_KEYS = ("MSDA_GATHER_SPLIT", "MSDA_LOC_PER_HEAD", "MSDA_TABLE_PER_HEAD",
+             "MSDA_PMAJOR", "MSDA_W16_DG")
 GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_gates.json")
 
@@ -92,6 +97,8 @@ def main():
         os.environ.get("MSDA_GATHER_SPLIT", "1") not in ("0", "1")
         or os.environ.get("MSDA_LOC_PER_HEAD") == "1"
         or os.environ.get("MSDA_TABLE_PER_HEAD") == "1"
+        or os.environ.get("MSDA_PMAJOR") == "1"
+        or os.environ.get("MSDA_W16_DG") == "1"
     )
     try:
         run()
@@ -108,6 +115,8 @@ def main():
         os.environ["MSDA_GATHER_SPLIT"] = "1"
         os.environ["MSDA_LOC_PER_HEAD"] = "0"
         os.environ["MSDA_TABLE_PER_HEAD"] = "0"
+        os.environ["MSDA_PMAJOR"] = "0"
+        os.environ["MSDA_W16_DG"] = "0"
         run(retried=True)
 
 

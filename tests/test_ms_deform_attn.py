@@ -150,3 +150,44 @@ def test_per_head_producers_match_default(gates, monkeypatch):
         monkeypatch.delenv(k, raising=False)
     base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
     np.testing.assert_array_equal(gated, base)
+
+
+def test_w16_dg_matches_default(monkeypatch):
+    """MSDA_W16_DG keeps the corner weights component-major and contracts
+    dim 0 via dot_general — same products, same E matrix, must be
+    bit-identical to the transpose+dot form."""
+    monkeypatch.setenv("MSDA_W16_DG", "1")
+    rng = np.random.RandomState(17)
+    B, M, D, Lq, P = 1, 2, 32, 16, 4
+    shapes = ((4, 6), (2, 3))
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)), jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.float32)
+
+    gated = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    monkeypatch.delenv("MSDA_W16_DG")
+    base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    np.testing.assert_allclose(gated, base, atol=1e-6, rtol=1e-6)
+
+
+def test_pmajor_matches_default(monkeypatch):
+    """MSDA_PMAJOR gathers point-major (P chains per head, free index
+    reshape). The P*4-corner contraction splits into P 4-corner dots summed
+    in f32 — same math, different f32 accumulation split, so approximate
+    (not bitwise) agreement is the contract."""
+    monkeypatch.setenv("MSDA_PMAJOR", "1")
+    rng = np.random.RandomState(19)
+    B, M, D, Lq, P = 1, 2, 32, 16, 4
+    shapes = ((4, 6), (2, 3))
+    S = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = jnp.asarray(rng.randn(B, S, M, D), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, M, L, P, 2)), jnp.float32)
+    attn = jnp.asarray(rng.rand(B, Lq, M, L, P), jnp.float32)
+
+    gated = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    monkeypatch.delenv("MSDA_PMAJOR")
+    base = np.asarray(ms_deform_attn(value, shapes, loc, attn))
+    np.testing.assert_allclose(gated, base, atol=2e-6, rtol=1e-5)

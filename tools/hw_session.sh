@@ -101,9 +101,9 @@ EOF
   # (per-head scheduling overlap, r5 matrix 3). Re-run the rows to
   # re-adjudicate on new hardware or after touching the MSDA op.
   bench_row baseline
-  bench_row gsplit2 MSDA_GATHER_SPLIT=2
-  bench_row locph MSDA_GATHER_SPLIT=2 MSDA_LOC_PER_HEAD=1
   bench_row locph_tbl MSDA_GATHER_SPLIT=2 MSDA_LOC_PER_HEAD=1 MSDA_TABLE_PER_HEAD=1
+  bench_row pmajor MSDA_PMAJOR=1 MSDA_TABLE_PER_HEAD=1
+  bench_row pmajor_notbl MSDA_PMAJOR=1 MSDA_TABLE_PER_HEAD=0
 
   echo "=== $(date -u +%FT%TZ) smoke_kernels"
   timeout 2400 python tools/smoke_kernels.py; echo "smoke rc=$?"

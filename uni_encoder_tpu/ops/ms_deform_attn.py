@@ -147,6 +147,19 @@ def ms_deform_attn(
     # one per level): gather i then waits only on build i, and build i+1
     # can overlap gather i — targets the ~0.8 ms/layer of exposed build.
     _tbl_ph = os.environ.get("MSDA_TABLE_PER_HEAD") == "1"
+    # MSDA_PMAJOR=1: point-major gather order. The q-major index vector
+    # needs a (P, Lq) -> (Lq*P,) interleave relayout on every gather's
+    # critical path; emitting one gather per sampling POINT (index = a free
+    # reshape of the lane-major (P, Lq) row) kills that relayout and yields
+    # P independent gather->reduce chains per head-level with zero producer
+    # relayouts (weights stay component-major; the E-dot streams them
+    # transposed via dot_general). Subsumes/ignores MSDA_GATHER_SPLIT.
+    _pmajor = os.environ.get("MSDA_PMAJOR") == "1"
+    # MSDA_W16_DG=1 (unrolled-heads path only): keep w16 component-major
+    # (P*4, Lq) and let dot_general contract its dim 0 against E — the MXU
+    # streams the transposed operand, so the explicit (P*4, Lq) -> (Lq, P*4)
+    # relayout disappears (profile_msda_parts: dg cm-w16 12.74 vs 12.93 ms).
+    _w16_dg = os.environ.get("MSDA_W16_DG") == "1" and unroll_heads
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -197,7 +210,8 @@ def ms_deform_attn(
             return _tb_cache[i]
 
         loc = sampling_locations[:, :, lvl]  # (B, M, P, 2, Lq)
-        _loc_ph_active = _loc_ph and unroll_heads
+        _pmajor_active = _pmajor and unroll_heads
+        _loc_ph_active = (_loc_ph and unroll_heads) or _pmajor_active
         if not _loc_ph_active:
             if layout == "cm_abs":
                 fx = loc[:, :, :, 0]  # (B, M, P, Lq) — Lq on lanes
@@ -232,7 +246,11 @@ def ms_deform_attn(
                 ],
                 axis=3,
             ) * wlb[:, :, :, None]  # (B, M, P, 4, Lq)
-            w16 = jnp.transpose(w16.reshape(B, M, P * 4, Lq), (0, 1, 3, 2))
+            w16 = w16.reshape(B, M, P * 4, Lq)
+            if not _w16_dg:
+                # q-major rows for the plain-dot reduction; the dg form
+                # keeps this component-major and skips the relayout
+                w16 = jnp.transpose(w16, (0, 1, 3, 2))
 
         def loc_head(i):
             # per-head loc math (same algebra as the batched block above,
@@ -263,8 +281,42 @@ def ms_deform_attn(
                 ],
                 axis=1,
             ) * wlh[:, None]  # (P, 4, Lq)
-            w16h = jnp.swapaxes(w16h.reshape(P * 4, Lq), 0, 1)
+            w16h = w16h.reshape(P * 4, Lq)
+            if not _w16_dg:
+                w16h = jnp.swapaxes(w16h, 0, 1)
             return linh, w16h
+
+        def loc_head_pmajor(i):
+            # point-major producers for head i: indices (P, Lq) — row p is
+            # the p-th point's gather rows, flat reshape is FREE (lane-major,
+            # no q-interleave) — and component-major corner weights
+            # (P, 4, Lq); same algebra as loc_head otherwise
+            b, m = divmod(i, M)
+            if layout == "cm_abs":
+                fxh = loc[b, m, :, 0]  # (P, Lq)
+                fyh = loc[b, m, :, 1]
+            else:
+                fxh = loc[b, m, :, 0] * W - 0.5
+                fyh = loc[b, m, :, 1] * H - 0.5
+            x0h = jnp.floor(fxh)
+            y0h = jnp.floor(fyh)
+            wxh = fxh - x0h
+            wyh = fyh - y0h
+            insh = (x0h >= -1) & (x0h <= W - 1) & (y0h >= -1) & (y0h <= H - 1)
+            wlh = attention_weights[b, m, lvl] * insh  # (P, Lq)
+            ixh = (jnp.clip(x0h, -1, W - 1) + 1).astype(jnp.int32)
+            iyh = (jnp.clip(y0h, -1, H - 1) + 1).astype(jnp.int32)
+            linp = iyh * (W + 1) + ixh  # (P, Lq)
+            w4cm = jnp.stack(
+                [
+                    (1 - wyh) * (1 - wxh),
+                    (1 - wyh) * wxh,
+                    wyh * (1 - wxh),
+                    wyh * wxh,
+                ],
+                axis=1,
+            ) * wlh[:, None]  # (P, 4, Lq)
+            return linp, w4cm
 
         _ph_cache = {}
 
@@ -286,17 +338,59 @@ def ms_deform_attn(
         def reduce_rows(g_rows, w_rows):
             # g_rows (N, P*4*D), w_rows (N, P*4) -> (N, D) f32. The f32->bf16
             # cast fuses into the dot read; transposing w16 at bf16 instead
-            # is NOT a win (sub-word relayout penalty).
-            wrow = jnp.dot(
-                w_rows.astype(g_dtype), E_m, preferred_element_type=g_dtype
-            )
+            # is NOT a win (sub-word relayout penalty). Under MSDA_W16_DG,
+            # w_rows arrives COMPONENT-major (P*4, N) and dot_general
+            # contracts its dim 0 — the MXU streams the transposed operand,
+            # no explicit relayout.
+            if _w16_dg:
+                wrow = jax.lax.dot_general(
+                    w_rows.astype(g_dtype), E_m,
+                    (((0,), (0,)), ((), ())), preferred_element_type=g_dtype,
+                )
+            else:
+                wrow = jnp.dot(
+                    w_rows.astype(g_dtype), E_m, preferred_element_type=g_dtype
+                )
             return jnp.dot(g_rows * wrow, S_m, preferred_element_type=jnp.float32)
 
         if unroll_heads:
             # per-(b, head) flat rank-2 gathers: each table <= ~8.5 MB at
             # production shapes -> VMEM-staged by XLA; the MXU reduction
             # consumes the (Lq, P*4D) gather output in place.
-            if _gsplit > 1 and Lq % _gsplit == 0:
+            if _pmajor_active:
+                # point-major: P independent gather->reduce chains per head,
+                # index rows are free reshapes of the lane-major (P, Lq)
+                # producer output (no q-interleave relayout anywhere)
+                E4_np, S4_np = _reduction_mats(1, D)  # (4, 4D), (4D, D)
+                E4 = jnp.asarray(E4_np, g_dtype)
+                S4 = jnp.asarray(S4_np, g_dtype)
+                _pm_cache = {}
+
+                def head_pm(i):
+                    if i not in _pm_cache:
+                        _pm_cache[i] = loc_head_pmajor(i)
+                    return _pm_cache[i]
+
+                def point_part(i, p):
+                    linp, w4cm = head_pm(i)
+                    g = jax.lax.gather(
+                        head_table(i), linp[p][:, None], dnums,
+                        slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    )  # (Lq, 4D)
+                    # (4, Lq)^T @ (4, 4D) -> (Lq, 4D): MXU streams the
+                    # transposed weight operand, no relayout
+                    wrow = jax.lax.dot_general(
+                        w4cm[p].astype(g_dtype), E4,
+                        (((0,), (0,)), ((), ())), preferred_element_type=g_dtype,
+                    )
+                    return jnp.dot(g * wrow, S4, preferred_element_type=jnp.float32)
+
+                acc_heads = [
+                    sum(point_part(i, p) for p in range(P))
+                    for i in range(B * M)
+                ]
+            elif _gsplit > 1 and Lq % _gsplit == 0:
                 # query-granular chunks: each chunk's gather feeds its own
                 # reduction (identical slices/rows to the single gather),
                 # so only the (Lq/n, D) outputs are concatenated — not the
@@ -307,13 +401,15 @@ def ms_deform_attn(
 
                 def chunk(i, s):
                     lin_i, w16_i = head_lw(i)
+                    w_chunk = (w16_i[:, s * cq : (s + 1) * cq] if _w16_dg
+                               else w16_i[s * cq : (s + 1) * cq])
                     return reduce_rows(
                         jax.lax.gather(
                             head_table(i), lin_i[s * c : (s + 1) * c][:, None],
                             dnums, slice_sizes=(1, 4 * D),
                             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                         ).reshape(cq, P * 4 * D),
-                        w16_i[s * cq : (s + 1) * cq],
+                        w_chunk,
                     )
 
                 # emission order is NOT a lever: interleaving chunk s of
