@@ -49,8 +49,10 @@ BASELINE_IMG_PER_S = 4.0
 # head loop so they overlap the previous head's gathers (r5 matrix 3).
 # MSDA_PMAJOR gathers point-major — the q-major index interleave relayout
 # disappears and each head-level becomes P independent gather->reduce
-# chains (r5 matrix 4: 9.04 vs 8.19). MSDA_W16_DG keeps corner weights
-# component-major through a dot_general (measured neutral end-to-end).
+# chains (r5 matrix 4: 9.04 vs 8.19 — but NOT the shipped default: the
+# confirm session could not reproduce a green run, its remote compile sat
+# 40 min without completing; see BASELINE.md matrix 4). MSDA_W16_DG keeps
+# corner weights component-major via dot_general (measured neutral).
 GATE_KEYS = ("MSDA_GATHER_SPLIT", "MSDA_LOC_PER_HEAD", "MSDA_TABLE_PER_HEAD",
              "MSDA_PMAJOR", "MSDA_W16_DG")
 GATES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
